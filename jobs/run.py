@@ -1,0 +1,182 @@
+"""spark-submit entrypoint for the migrator_spark CDC engine.
+
+Usage (sandbox = local[N]; on a cluster drop --cores and let the
+cluster manager size executors):
+
+  # generate a deterministic event log
+  spark-submit jobs/run.py gen --log /tmp/log --events 100000 --keys 5000 --hot 0.3
+
+  # create the target table + bulk backfill (the "migration" phase)
+  spark-submit --py-files migrator_spark.zip jobs/run.py backfill \
+      --log /tmp/log --table /tmp/table --work /tmp/work
+
+  # tail the log continuously (CDC replication phase)
+  spark-submit jobs/run.py stream --log /tmp/log --table /tmp/table \
+      --work /tmp/work [--drain | --window 5s] [--batch-files 4]
+
+  # verify table state against the pure-Python replay oracle
+  python jobs/run.py verify --log /tmp/log --table /tmp/table
+
+Packaging: `make zip` (or `cd /root/repo && zip -r migrator_spark.zip
+migrator_spark`) produces the --py-files artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="migrator-spark")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    g = sub.add_parser("gen", help="generate deterministic event log")
+    g.add_argument("--log", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--keys", type=int, default=5_000)
+    g.add_argument("--hot", type=float, default=0.0, help="hot-repo event share")
+    g.add_argument("--files", type=int, default=16)
+    g.add_argument("--seed", type=int, default=42)
+
+    for name in ("backfill", "stream"):
+        s = sub.add_parser(name)
+        s.add_argument("--log", required=True)
+        s.add_argument("--table", required=True)
+        s.add_argument("--work", required=True, help="state + checkpoint root")
+        s.add_argument("--pipeline-id", default="p1")
+        s.add_argument("--cores", type=int, default=None)
+        s.add_argument("--salt", type=int, default=32)
+        s.add_argument("--buckets", type=int, default=64)
+        if name == "backfill":
+            s.add_argument("--start-offset", type=int, default=0)
+            s.add_argument("--max-size", type=int, default=None)
+            s.add_argument("--batch-size", type=int, default=None)
+        else:
+            s.add_argument("--drain", action="store_true", help="availableNow then stop")
+            s.add_argument("--window", default=None, help="processingTime trigger, e.g. '5s' or '2 seconds'")
+            s.add_argument("--batch-files", type=int, default=4)
+            s.add_argument("--timeout", type=int, default=None, help="stop after N sec")
+
+    v = sub.add_parser("verify", help="compare table state to the replay oracle")
+    v.add_argument("--log", required=True)
+    v.add_argument("--table", required=True)
+
+    c = sub.add_parser("status")
+    c.add_argument("--work", required=True)
+    c.add_argument("--pipeline-id", default="p1")
+
+    args = p.parse_args(argv)
+
+    if args.mode == "gen":
+        from migrator_spark.gen import generate_event_log
+
+        meta = generate_event_log(
+            args.log, num_events=args.events, num_keys=args.keys,
+            hot_fraction=args.hot, num_files=args.files, seed=args.seed,
+        )
+        print(json.dumps(meta))
+        return 0
+
+    if args.mode == "status":
+        from migrator_spark.state import StateStore
+
+        print(json.dumps(StateStore(os.path.join(args.work, "state")).get(args.pipeline_id)))
+        return 0
+
+    if args.mode == "verify":
+        import pandas as pd
+
+        from migrator_spark.gen import fold_oracle, load_events_pandas
+        from migrator_spark.plans.laketable import LakeTable
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-verify")
+        oracle = fold_oracle(load_events_pandas(args.log))
+        got = LakeTable.load(spark, args.table).read().orderBy("repo", "path").toPandas()
+        ok = len(got) == len(oracle)
+        detail = {"table_rows": len(got), "oracle_rows": len(oracle)}
+        if ok and len(got):
+            for c in ["repo", "path", "commit", "lang", "content", "content_sha256", "_last_offset"]:
+                g = got[c].reset_index(drop=True).astype(object).where(pd.notna(got[c]).values, None)
+                o = oracle[c].astype(object).where(pd.notna(oracle[c]).values, None)
+                bad = int((g != o).sum())
+                detail[f"mismatch_{c}"] = bad
+                ok = ok and bad == 0
+        print(json.dumps({"match": bool(ok), **detail}))
+        return 0 if ok else 1
+
+    from migrator_spark.plans.laketable import LakeTable
+    from migrator_spark.schema import KEY_COLS, PAYLOAD_FIELDS
+    from migrator_spark.session import get_spark
+    from migrator_spark.state import StateStore
+    from pyspark.sql import types as T
+
+    spark = get_spark(f"migrator-{args.mode}", cores=args.cores)
+    state = StateStore(os.path.join(args.work, "state"))
+    payload_schema = T.StructType(
+        PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+    )
+    LakeTable.create(
+        spark, args.table, payload_schema, KEY_COLS,
+        num_buckets=args.buckets, if_not_exists=True,
+    )
+
+    if args.mode == "backfill":
+        from migrator_spark.streaming.backfill import run_backfill
+
+        st = run_backfill(
+            spark, args.log, args.table, state, args.pipeline_id,
+            start_offset=args.start_offset, max_size=args.max_size,
+            batch_size=args.batch_size, salt_buckets=args.salt,
+        )
+        print(json.dumps(st))
+        return 0
+
+    # stream
+    with state.run_lock(args.pipeline_id, "replication"):
+        _run_stream(spark, args, state)
+    st = state.get(args.pipeline_id)
+    print(json.dumps(st))
+    return 0
+
+
+def _run_stream(spark, args, state) -> None:
+    from migrator_spark.streaming.apply import start_stream
+
+    state.update(args.pipeline_id, replication_status="starting")
+    try:
+        q = start_stream(
+            spark, args.log, args.table,
+            checkpoint_dir=os.path.join(args.work, "checkpoint"),
+            stream_id=f"cdc-{args.pipeline_id}",
+            max_files_per_trigger=args.batch_files,
+            processing_time=args.window,
+            available_now=args.drain,
+            salt_buckets=args.salt,
+            state=state,
+            pipeline_id=args.pipeline_id,
+        )
+        if args.drain:
+            q.awaitTermination()
+        elif args.timeout:
+            q.awaitTermination(args.timeout)
+            q.stop()
+            q.awaitTermination()
+        else:
+            q.awaitTermination()
+        state.update(args.pipeline_id, replication_status="paused")
+    except KeyboardInterrupt:
+        state.update(args.pipeline_id, replication_status="paused", replication_issue="interrupted")
+        raise
+    except Exception as e:
+        state.update(args.pipeline_id, replication_status="failed", replication_issue=str(e))
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())

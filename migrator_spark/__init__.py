@@ -1,0 +1,25 @@
+"""migrator_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch reimplementation of the *capabilities* of
+``sagadana/migrator`` (reference: /root/reference, a Go replication
+engine) designed Spark-first:
+
+- the universal change-event envelope (reference:
+  datasources/base.go:37-41 ``DatasourcePushRequest``) becomes a single
+  ordered DataFrame of ``(offset, op, ts, key..., payload...)`` rows;
+- keyed upserts (reference: postgres.go:379-525 ``Push``) become a
+  copy-on-write MERGE into a snapshot-versioned, bucket-partitioned
+  lake table (:mod:`migrator_spark.plans.laketable`);
+- the CDC watch loop (reference: datasources/base.go:446-604
+  ``StreamChanges``) becomes Structured Streaming ``readStream`` +
+  ``foreachBatch`` with checkpointed offsets and exactly-once commits;
+- per-row transforms (reference: datasources/base.go:127
+  ``DatasourceTransformer``) become vectorized pandas/Arrow UDFs
+  (:mod:`migrator_spark.functions.transforms`).
+
+Nothing in here is a port: the reference hand-schedules goroutines and
+channels; we declare DataFrame plans and let Catalyst/Tungsten/AQE plan
+the physical execution.
+"""
+
+__version__ = "0.1.0"

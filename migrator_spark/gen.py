@@ -1,0 +1,208 @@
+"""Deterministic synthetic change-event log generator + replay oracle.
+
+Produces the F1 fixture (FIXTURES.md): an ordered, append-only log of
+insert/update/delete envelopes over source-code rows keyed by
+``(repo, path)``, with a hot-key skew knob (one repo receiving a
+configurable share of all events — SURVEY.md §7.2 step 5) and an
+additive-schema-evolution knob (a ``branch`` column appearing from a
+given offset onward — reference analogue: GORM AutoMigrate additive
+columns, postgres.go:169-174).
+
+Everything is seeded numpy — no wall clock, no unseeded randomness
+(SURVEY.md §7.4 risk 6). Generation is vectorized so the bench tier
+(tens of millions of events) stays cheap, and writes chunked parquet
+files so ``maxFilesPerTrigger`` produces multiple micro-batches.
+
+The replay oracle (:func:`fold_oracle`) is a pure-Python fold in offset
+order — upsert on insert/update, remove on delete — mirroring the
+reference's destination-convergence asserts
+(/root/reference/pipelines/base_test.go:496-517).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from migrator_spark.functions.transforms import nfc_normalize_py
+
+LANGS = np.array(["go", "py", "js", "rs", "java", "c", "ts", "rb"])
+
+# 16 deterministic code-ish body chunks (~100 chars each).
+_CHUNKS = np.array(
+    [
+        (
+            f"def fn_{i}(x):\n"
+            f"    acc = {i * 7} \n"  # trailing space: normalization fodder
+            f"    for k in range(x % {i + 2}):\r\n"  # CRLF: normalization fodder
+            f"        acc += k * {i}\n"
+            f"    return acc\n"
+        )
+        for i in range(16)
+    ]
+)
+
+
+def generate_event_log(
+    out_dir: str,
+    num_events: int,
+    num_keys: int,
+    num_repos: int | None = None,
+    hot_fraction: float = 0.0,
+    update_ratio: float = 0.5,
+    delete_ratio: float = 0.15,
+    seed: int = 42,
+    num_files: int = 8,
+    with_branch: bool = False,
+    evolution_offset: int | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Write the event log to ``out_dir`` as ordered parquet chunks.
+
+    Returns the meta dict (also persisted as ``_meta.json``); if the
+    directory already holds a log with identical parameters the write
+    is skipped (bench caching).
+    """
+    meta = {
+        "num_events": num_events,
+        "num_keys": num_keys,
+        "num_repos": num_repos,
+        "hot_fraction": hot_fraction,
+        "update_ratio": update_ratio,
+        "delete_ratio": delete_ratio,
+        "seed": seed,
+        "num_files": num_files,
+        "with_branch": with_branch,
+        "evolution_offset": evolution_offset,
+        "version": 3,
+    }
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path) and not overwrite:
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return meta
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    num_repos = num_repos or max(2, num_keys // 64)
+    rng = np.random.RandomState(seed)
+
+    offsets = np.arange(num_events, dtype=np.int64)
+    # key assignment with optional hot repo: repo 0 owns the first
+    # num_keys//num_repos key ids and receives `hot_fraction` of events.
+    keys_per_repo = max(1, num_keys // num_repos)
+    uniform_keys = rng.randint(0, num_keys, size=num_events)
+    if hot_fraction > 0:
+        hot_mask = rng.rand(num_events) < hot_fraction
+        hot_keys = rng.randint(0, keys_per_repo, size=num_events)
+        key_ids = np.where(hot_mask, hot_keys, uniform_keys)
+    else:
+        key_ids = uniform_keys
+    repo_ids = np.minimum(key_ids // keys_per_repo, num_repos - 1)
+
+    r = rng.rand(num_events)
+    ops = np.full(num_events, "insert", dtype=object)
+    ops[r < update_ratio + delete_ratio] = "update"
+    ops[r < delete_ratio] = "delete"
+
+    repo = pd.Series(repo_ids).map(lambda i: f"repo-{i:05d}").to_numpy()
+    path_ids = key_ids % keys_per_repo
+    path = (
+        "src/m"
+        + pd.Series(path_ids // 16).astype(str)
+        + "/f"
+        + pd.Series(path_ids).astype(str)
+        + "."
+        + pd.Series(LANGS[key_ids % len(LANGS)])
+    ).to_numpy()
+    # 40-char deterministic hex-alphabet commit id from (key, offset).
+    commit = (
+        pd.Series(key_ids).astype(str).str.zfill(20)
+        + pd.Series(offsets).astype(str).str.zfill(20)
+    ).to_numpy()
+    lang = LANGS[key_ids % len(LANGS)]
+
+    header = (
+        "// " + pd.Series(repo) + "/" + pd.Series(path) + " @" + pd.Series(offsets).astype(str) + "\n"
+    )
+    body = pd.Series(_CHUNKS[offsets % len(_CHUNKS)]).str.repeat((offsets % 3 + 1).tolist())
+    content = (header + body).to_numpy(dtype=object)
+    content[ops == "delete"] = None
+    lang = lang.astype(object)
+    commit_o = commit.astype(object)
+
+    ts = (np.datetime64("2024-01-01T00:00:00") + offsets.astype("timedelta64[s]")).astype(
+        "datetime64[us]"
+    )
+
+    cols: dict[str, pa.Array] = {
+        "offset": pa.array(offsets, pa.int64()),
+        "op": pa.array(ops, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "repo": pa.array(repo, pa.string()),
+        "path": pa.array(path, pa.string()),
+        "commit": pa.array(commit_o, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+        "content": pa.array(content, pa.string()),
+    }
+    if with_branch:
+        ev = evolution_offset if evolution_offset is not None else 0
+        branch = np.where(offsets >= ev, np.where(key_ids % 3 == 0, "dev", "main"), None)
+        cols["branch"] = pa.array(branch.astype(object), pa.string())
+    table = pa.table(cols)
+
+    chunk = -(-num_events // num_files)
+    for i in range(num_files):
+        lo, hi = i * chunk, min((i + 1) * chunk, num_events)
+        if lo >= hi:
+            break
+        pq.write_table(table.slice(lo, hi - lo), os.path.join(out_dir, f"events-{i:05d}.parquet"))
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_events_pandas(log_dir: str) -> pd.DataFrame:
+    """Read the whole log (oracle side) sorted by offset."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(log_dir, "events-*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default").to_pandas()
+    return df.sort_values("offset").reset_index(drop=True)
+
+
+def fold_oracle(events: pd.DataFrame, normalize: bool = True) -> pd.DataFrame:
+    """Pure-Python replay oracle: fold envelopes in offset order.
+
+    insert/update → full-row upsert (LWW), delete → remove; content is
+    normalized and sha256-fingerprinted exactly like the engine's
+    transform, so the comparison asserts per-row sha equality
+    (BASELINE.json input_hint).
+    """
+    state: dict[tuple[str, str], dict] = {}
+    payload_cols = [c for c in events.columns if c not in ("offset", "op", "ts")]
+    for row in events.sort_values("offset").itertuples(index=False):
+        key = (row.repo, row.path)
+        if row.op == "delete":
+            state.pop(key, None)
+            continue
+        d = {c: getattr(row, c) for c in payload_cols}
+        if normalize:
+            d["content"] = nfc_normalize_py(d["content"])
+        d["content_sha256"] = (
+            hashlib.sha256(d["content"].encode()).hexdigest() if d["content"] is not None else None
+        )
+        d["_last_offset"] = int(row.offset)
+        state[key] = d
+    out = pd.DataFrame(list(state.values()))
+    if len(out):
+        out = out.sort_values(["repo", "path"]).reset_index(drop=True)
+    return out

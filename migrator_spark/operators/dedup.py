@@ -1,0 +1,103 @@
+"""Last-writer-wins dedup and in-batch envelope dedup.
+
+Reference analogues:
+- within-batch sha256 dedup, reset per batch window
+  (/root/reference/datasources/base.go:454-511; never cross-batch,
+  base_test.go:1589-1634) → :func:`dedup_envelope_exact`;
+- last-event-wins keyed upsert ordering (memory.go:154-203,
+  postgres.go:430-505) → :func:`lww_latest` — the
+  window-over-event-offset required by the north rule.
+
+Scale notes: ``lww_latest`` is implemented as a ``max_by`` aggregation,
+NOT a ``row_number`` window. An aggregation gets map-side partial
+combine (each input partition reduces to ≤ |keys-in-partition| rows
+before the shuffle), whereas a window must shuffle EVERY event and sort
+within partitions — at 10^10 events that is the difference between
+shuffling ~|keys| rows and shuffling 10^10. For hot keys (one repo
+taking ~50% of traffic) an explicit salt stage splits a single key's
+events across ``salt_buckets`` reducers first; LWW (argmax by offset)
+is associative so two-phase reduction is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SALT_COL = "_salt"
+
+
+def lww_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str = "offset",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """One row per key: the row with max ``order_col`` (LWW winner).
+
+    ``salt_buckets > 0`` adds an explicit two-phase reduction: phase 1
+    reduces per ``(key, salt)`` where ``salt = order_col % buckets``,
+    phase 2 reduces per key. This defeats single-hot-key skew (north
+    rule: explicit salting of hot repo keys) on top of what AQE's skew
+    handling already does for joins.
+    """
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols]).alias("_row")
+    order = F.col(order_col)
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn(SALT_COL, F.pmod(F.col(order_col), F.lit(salt_buckets)))
+        phase1 = salted.groupBy(*key_cols, SALT_COL).agg(
+            F.max_by(row, order).alias("_row"), F.max(order).alias("_o")
+        )
+        winners = phase1.groupBy(*key_cols).agg(
+            F.max_by(F.col("_row"), F.col("_o")).alias("_row")
+        )
+    else:
+        winners = df.groupBy(*key_cols).agg(F.max_by(row, order).alias("_row"))
+    return winners.select("_row.*")
+
+
+def lww_latest_window(
+    df: DataFrame, key_cols: list[str], order_col: str = "offset"
+) -> DataFrame:
+    """Window-function formulation of :func:`lww_latest` (row_number
+    over offset desc). Semantically identical; kept as the
+    SQL-expressible oracle form and for cases needing full-row ties
+    broken deterministically by a secondary column."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def envelope_hash(cols: list[str], salt: str = "") -> Column:
+    """sha256 of the JSON-serialized envelope (+optional stream-name
+    salt) — reference: datasources/base.go:454-465."""
+    h = F.sha2(F.concat(F.to_json(F.struct(*[F.col(c) for c in cols])), F.lit(salt)), 256)
+    return h
+
+
+def dedup_envelope_exact(df: DataFrame, salt: str = "") -> DataFrame:
+    """Drop byte-identical envelopes WITHIN one micro-batch (the
+    reference's per-window ``seenHashes``; cross-batch idempotence
+    comes from the MERGE key instead, matching base_test.go:1589-1634).
+
+    Keeps the first occurrence by offset for determinism.
+    """
+    cols = [c for c in df.columns if not c.startswith("_")]
+    hashed = df.withColumn("_h", envelope_hash([c for c in cols if c != "offset"], salt))
+    first = hashed.groupBy("_h").agg(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col("offset")).alias("_row")
+    )
+    return first.select("_row.*")
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int) -> Column:
+    """Deterministic bucket id for a key: pmod(murmur3(key...), B).
+    This is the table's physical partitioning — the analogue of the
+    reference's per-key routing (memory.go:48-54 id index), and what
+    lets MERGE rewrite only affected buckets."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")

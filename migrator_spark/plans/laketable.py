@@ -1,0 +1,521 @@
+"""Snapshot-versioned, bucket-partitioned lake table with MERGE upserts.
+
+This is the engine's sink — the Spark-native answer to the reference's
+keyed ``Push`` upsert connectors (/root/reference/datasources/
+postgres.go:379-525, mysql.go:385-529, mongo.go:277-364,
+memory.go:137-223). The sandbox has no Iceberg runtime jar, so this
+module implements the same table contract from scratch (SURVEY.md §7.4
+fallback), with the identical semantics the north rule demands:
+
+- **Keyed MERGE (copy-on-write).** Rows are hash-bucketed by key
+  (``pmod(murmur3(repo, path), B)``); a merge rewrites ONLY buckets
+  touched by the batch and carries every other bucket's files forward
+  untouched. At 10^10 events with B=65536 buckets this bounds each
+  commit's write amplification to (touched keys / B) of the table —
+  the same cost model as Iceberg partition-level copy-on-write.
+- **Atomic snapshot commits.** Each merge writes an immutable manifest
+  ``snapshots/v{N}.json`` and atomically flips the ``HEAD`` pointer
+  (``os.replace`` — on HDFS this is an atomic rename; on S3 it would be
+  a conditional PUT / commit service, same protocol). Readers always
+  see a complete snapshot; time travel = read an older manifest.
+- **Exactly-once.** The manifest records the highest committed
+  ``(stream_id, batch_id)``; a foreachBatch retry of an already
+  committed batch is a no-op (Delta's txn appId/version pattern). On
+  top of that, merges are LWW-idempotent: stored rows carry
+  ``_last_offset`` and a replayed OLD event can never overwrite newer
+  state (monotonic offset guard, SURVEY.md §7.2 step 3).
+- **Additive schema evolution.** Incoming batch columns not in the
+  table schema are appended as nullable fields in the new manifest;
+  old data files are read through the unified schema (missing columns
+  → NULL) — the Arrow-schema-reconciliation step of the north rule.
+- **Per-partition lineage.** Every merge records per-bucket
+  applied/deduped/deleted counters plus running totals
+  (reference analogue: migration progress counters,
+  pipelines/base.go:506-537).
+
+Single-writer assumption: one streaming query owns the table (the
+duplicate-run guard lives in :mod:`migrator_spark.state`, mirroring
+pipelines/base.go:386-388). Readers are lock-free.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.operators.dedup import bucket_expr
+from migrator_spark.schema import reconcile_schemas
+
+LAST_OFFSET_COL = "_last_offset"
+DELETED_COL = "_deleted"
+BUCKET_COL = "_bucket"
+META_COLS = ("offset", "op", "ts")
+
+
+class LakeTable:
+    """A versioned keyed table on a filesystem. See module docstring."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        payload_schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 64,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(path, "HEAD")):
+            if if_not_exists:
+                return cls.load(spark, path)
+            raise FileExistsError(f"table already exists at {path}")
+        for k in key_cols:
+            if k not in payload_schema.names:
+                raise ValueError(f"key column {k!r} missing from schema")
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "lineage"), exist_ok=True)
+        # _deleted marks tombstones: a delete's key + offset are kept so
+        # that a replayed OLDER upsert for the key cannot resurrect the
+        # row (the monotonic offset guard needs the delete's offset to
+        # compare against). Tombstones are invisible to read() and are
+        # garbage-collected by compact_tombstones() once no replay can
+        # reach behind them — the LSM/Cassandra tombstone model.
+        table_schema = T.StructType(
+            list(payload_schema.fields)
+            + [
+                T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+        manifest = {
+            "version": 1,
+            "schema": table_schema.jsonValue(),
+            "key_cols": key_cols,
+            "num_buckets": num_buckets,
+            "buckets": {},
+            "committed": {},
+            "last_offset": -1,
+            "lineage_totals": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+            "parent": None,
+        }
+        t = cls(spark, path, manifest)
+        t._write_snapshot(manifest)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        version = cls._head_version(path)
+        with open(os.path.join(path, "snapshots", f"v{version:08d}.json")) as f:
+            return cls(spark, path, json.load(f))
+
+    @classmethod
+    def load_version(cls, spark: SparkSession, path: str, version: int) -> "LakeTable":
+        """Time travel: read the table as of snapshot ``version``."""
+        with open(os.path.join(path, "snapshots", f"v{version:08d}.json")) as f:
+            return cls(spark, path, json.load(f))
+
+    @staticmethod
+    def _head_version(path: str) -> int:
+        with open(os.path.join(path, "HEAD")) as f:
+            return int(f.read().strip())
+
+    def refresh(self) -> "LakeTable":
+        return self.load(self.spark, self.path)
+
+    # ------------------------------------------------------------ properties
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.manifest["key_cols"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest["num_buckets"]
+
+    @property
+    def version(self) -> int:
+        return self.manifest["version"]
+
+    # ------------------------------------------------------------------ read
+    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+        """All stored rows including tombstones; ``buckets`` prunes to
+        listed buckets (manifest-level partition pruning — the scan
+        never touches files outside them, like Iceberg manifest
+        pruning)."""
+        files = []
+        for b, fl in self.manifest["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.path, f) for f in fl)
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        # Explicit unified schema: files written before an additive
+        # evolution lack the new columns; the parquet reader fills NULL.
+        return self.spark.read.schema(self.schema).parquet(*files)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current visible table state (tombstones filtered out)."""
+        return self.read_raw(buckets).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(DELETED_COL)
+
+    def count(self) -> int:
+        return self.read().count()
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        batch_df: DataFrame,
+        stream_id: str | None = None,
+        batch_id: int | None = None,
+        salt_buckets: int = 0,
+        order_col: str = "offset",
+        op_col: str = "op",
+    ) -> dict:
+        """Apply a batch of change envelopes: LWW per key, upsert
+        non-deletes, remove deletes. Returns the lineage dict.
+
+        The batch must contain the key columns, ``offset`` (long,
+        globally unique) and ``op`` ∈ {insert, update, delete}; all
+        other non-meta columns are payload. insert and update are both
+        full-row upserts (reference semantics: updates are upserts
+        everywhere — memory.go:185-192, postgres.go:483-505; our
+        envelopes carry full rows so LWW full replace is exact).
+        """
+        manifest = self.manifest
+        # Exactly-once: skip an already-committed (stream, batch).
+        if stream_id is not None and batch_id is not None:
+            if batch_id <= manifest["committed"].get(stream_id, -1):
+                return {
+                    "skipped": True,
+                    "version": manifest["version"],
+                    "stream_id": stream_id,
+                    "batch_id": batch_id,
+                }
+
+        key_cols = self.key_cols
+        b_total = self.num_buckets
+
+        # --- schema reconciliation (additive evolution) -----------------
+        payload = T.StructType(
+            [f for f in batch_df.schema.fields if f.name not in META_COLS]
+        )
+        table_payload = T.StructType(
+            [f for f in self.schema.fields if f.name not in (LAST_OFFSET_COL, DELETED_COL)]
+        )
+        unified_payload, added = reconcile_schemas(table_payload, payload)
+        new_table_schema = T.StructType(
+            list(unified_payload.fields)
+            + [
+                T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+        payload_names = [f.name for f in unified_payload.fields]
+
+        # --- within-batch LWW with explicit hot-key salting --------------
+        # Aggregation (max_by), not a window: map-side partial combine
+        # reduces each input partition to its local winners BEFORE the
+        # shuffle, so shuffle volume is O(distinct keys), not O(events).
+        ev = batch_df
+        for f in unified_payload.fields:  # align evolution columns
+            if f.name not in ev.columns:
+                ev = ev.withColumn(f.name, F.lit(None).cast(f.dataType))
+        row = F.struct(*[F.col(c) for c in payload_names + [order_col, op_col]]).alias("_row")
+        if salt_buckets and salt_buckets > 1:
+            p1 = (
+                ev.withColumn("_salt", F.pmod(F.col(order_col), F.lit(salt_buckets)))
+                .groupBy(*key_cols, "_salt")
+                .agg(
+                    F.max_by(row, F.col(order_col)).alias("_row"),
+                    F.count(F.lit(1)).alias("_n"),
+                    F.max(order_col).alias("_o"),
+                )
+            )
+            winners = p1.groupBy(*key_cols).agg(
+                F.max_by(F.col("_row"), F.col("_o")).alias("_row"),
+                F.sum("_n").alias("_n"),
+                F.max("_o").alias("_o"),
+            )
+        else:
+            winners = ev.groupBy(*key_cols).agg(
+                F.max_by(row, F.col(order_col)).alias("_row"),
+                F.count(F.lit(1)).alias("_n"),
+                F.max(order_col).alias("_o"),
+            )
+        winners = winners.select(
+            "_row.*", F.col("_n"), bucket_expr(key_cols, b_total).alias(BUCKET_COL)
+        )
+        winners.persist()
+        try:
+            # One small aggregation drives BOTH bucket pruning and the
+            # per-partition lineage counters (≤ num_buckets rows).
+            stats = (
+                winners.groupBy(BUCKET_COL)
+                .agg(
+                    F.sum("_n").alias("events"),
+                    F.count(F.lit(1)).alias("winners"),
+                    F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
+                    F.max(order_col).alias("max_offset"),
+                )
+                .collect()
+            )
+            if not stats:  # empty batch: still record the commit
+                return self._commit(
+                    manifest["buckets"], new_table_schema, stream_id, batch_id,
+                    {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+                    {}, manifest["last_offset"],
+                )
+
+            affected = sorted(r[BUCKET_COL] for r in stats)
+            per_bucket = {
+                int(r[BUCKET_COL]): {
+                    "events": int(r["events"]),
+                    "applied": int(r["winners"] - r["deletes"]),
+                    "deduped": int(r["events"] - r["winners"]),
+                    "deleted": int(r["deletes"]),
+                }
+                for r in stats
+            }
+            totals = {
+                "events": sum(v["events"] for v in per_bucket.values()),
+                "applied": sum(v["applied"] for v in per_bucket.values()),
+                "deduped": sum(v["deduped"] for v in per_bucket.values()),
+                "deleted": sum(v["deleted"] for v in per_bucket.values()),
+            }
+            max_offset = max(
+                int(r["max_offset"]) for r in stats
+            )
+
+            # --- copy-on-write of affected buckets only -------------------
+            current = self.read_raw(buckets=affected)
+            for f in unified_payload.fields:  # pad evolution columns
+                if f.name not in current.columns:
+                    current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
+            current = current.select(
+                *payload_names,
+                F.col(LAST_OFFSET_COL).alias(order_col),
+                # stored tombstones re-enter the LWW as deletes so their
+                # offset keeps guarding against replayed older upserts
+                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "delete")
+                .otherwise("current")
+                .alias(op_col),
+            )
+            batch_side = winners.select(*payload_names, order_col, op_col)
+            union = batch_side.unionByName(current)
+            # LWW across current-vs-batch: the monotonic offset guard —
+            # a replayed old event loses to the stored row (or stored
+            # tombstone; deletes persist as tombstones, GC'd later).
+            urow = F.struct(*[F.col(c) for c in union.columns]).alias("_row")
+            final = (
+                union.groupBy(*key_cols)
+                .agg(F.max_by(urow, F.col(order_col)).alias("_row"))
+                .select("_row.*")
+                .select(
+                    *payload_names,
+                    F.col(order_col).alias(LAST_OFFSET_COL),
+                    (F.col(op_col) == "delete").alias(DELETED_COL),
+                )
+                .withColumn(BUCKET_COL, bucket_expr(key_cols, b_total))
+            )
+
+            staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+            (
+                final.repartition(max(1, min(len(affected), 200)), F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+
+            # Promote staged files into data/ under the next version.
+            next_version = manifest["version"] + 1
+            new_buckets = dict(manifest["buckets"])
+            for b in affected:
+                new_buckets[str(b)] = []
+            for bdir in glob.glob(os.path.join(staging, f"{BUCKET_COL}=*")):
+                b = int(os.path.basename(bdir).split("=")[1])
+                dest_dir = os.path.join(self.path, "data", f"b{b:05d}")
+                os.makedirs(dest_dir, exist_ok=True)
+                rels = []
+                for i, fpath in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
+                    rel = f"data/b{b:05d}/part-v{next_version:08d}-{i:04d}.parquet"
+                    os.replace(fpath, os.path.join(self.path, rel))
+                    rels.append(rel)
+                new_buckets[str(b)] = rels
+            # An affected bucket whose final state is empty keeps [].
+            new_buckets = {b: fl for b, fl in new_buckets.items() if fl}
+            shutil.rmtree(staging, ignore_errors=True)
+
+            return self._commit(
+                new_buckets,
+                new_table_schema,
+                stream_id,
+                batch_id,
+                totals,
+                per_bucket,
+                max(manifest["last_offset"], max_offset),
+                added=[f.name for f in added],
+            )
+        finally:
+            winners.unpersist()
+
+    def _commit(
+        self,
+        buckets: dict,
+        table_schema: T.StructType,
+        stream_id: str | None,
+        batch_id: int | None,
+        totals: dict,
+        per_bucket: dict,
+        last_offset: int,
+        added: list[str] | None = None,
+    ) -> dict:
+        old = self.manifest
+        next_version = old["version"] + 1
+        committed = dict(old["committed"])
+        if stream_id is not None and batch_id is not None:
+            committed[stream_id] = batch_id
+        lineage_totals = {
+            k: old["lineage_totals"].get(k, 0) + totals.get(k, 0)
+            for k in ("events", "applied", "deduped", "deleted")
+        }
+        manifest = {
+            "version": next_version,
+            "schema": table_schema.jsonValue(),
+            "key_cols": old["key_cols"],
+            "num_buckets": old["num_buckets"],
+            "buckets": buckets,
+            "committed": committed,
+            "last_offset": last_offset,
+            "lineage_totals": lineage_totals,
+            "parent": old["version"],
+        }
+        lineage = {
+            "version": next_version,
+            "stream_id": stream_id,
+            "batch_id": batch_id,
+            "totals": totals,
+            "per_bucket": per_bucket,
+            "schema_added": added or [],
+        }
+        with open(os.path.join(self.path, "lineage", f"v{next_version:08d}.json"), "w") as f:
+            json.dump(lineage, f)
+        self._write_snapshot(manifest)
+        self.manifest = manifest
+        return {**lineage, "skipped": False}
+
+    def _write_snapshot(self, manifest: dict) -> None:
+        v = manifest["version"]
+        snap = os.path.join(self.path, "snapshots", f"v{v:08d}.json")
+        tmp = snap + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, snap)
+        head_tmp = os.path.join(self.path, "HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(head_tmp, os.path.join(self.path, "HEAD"))
+
+    # ------------------------------------------------------------- utilities
+    def lineage_log(self) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.path, "lineage", "v*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    def clear(self) -> None:
+        """Reference ``Clear`` (memory.go:239-249): drop all rows but
+        keep the table (schema + committed history preserved)."""
+        self._commit(
+            {}, self.schema, None, None,
+            {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
+            self.manifest["last_offset"],
+        )
+
+    def compact_tombstones(self, min_offset: int) -> dict:
+        """GC tombstones with ``_last_offset < min_offset`` — safe once
+        no replay/backfill can re-deliver events older than
+        ``min_offset`` (tie this to checkpoint retention). Rewrites
+        every bucket that holds an expirable tombstone; commits one new
+        snapshot."""
+        raw = self.read_raw()
+        has = (
+            raw.filter(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LAST_OFFSET_COL) < min_offset))
+            .select(bucket_expr(self.key_cols, self.num_buckets).alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        affected = sorted(r[BUCKET_COL] for r in has)
+        if not affected:
+            return {"compacted_buckets": 0, "version": self.version}
+        keep_rows = self.read_raw(buckets=affected).filter(
+            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LAST_OFFSET_COL) < min_offset))
+        ).withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        (
+            keep_rows.repartition(max(1, min(len(affected), 200)), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        next_version = self.manifest["version"] + 1
+        new_buckets = dict(self.manifest["buckets"])
+        for b in affected:
+            new_buckets[str(b)] = []
+        for bdir in glob.glob(os.path.join(staging, f"{BUCKET_COL}=*")):
+            b = int(os.path.basename(bdir).split("=")[1])
+            dest_dir = os.path.join(self.path, "data", f"b{b:05d}")
+            os.makedirs(dest_dir, exist_ok=True)
+            rels = []
+            for i, fpath in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
+                rel = f"data/b{b:05d}/part-v{next_version:08d}-{i:04d}.parquet"
+                os.replace(fpath, os.path.join(self.path, rel))
+                rels.append(rel)
+            new_buckets[str(b)] = rels
+        new_buckets = {b: fl for b, fl in new_buckets.items() if fl}
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit(
+            new_buckets, self.schema, None, None,
+            {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
+            self.manifest["last_offset"],
+        )
+        return {"compacted_buckets": len(affected), "version": self.version}
+
+    def expire_snapshots(self, keep: int = 2) -> int:
+        """Vacuum: delete data files referenced only by snapshots older
+        than the newest ``keep`` (Iceberg expire_snapshots analogue)."""
+        snaps = sorted(glob.glob(os.path.join(self.path, "snapshots", "v*.json")))
+        if len(snaps) <= keep:
+            return 0
+        live: set[str] = set()
+        for p in snaps[-keep:]:
+            with open(p) as f:
+                m = json.load(f)
+            for fl in m["buckets"].values():
+                live.update(fl)
+        removed = 0
+        for fpath in glob.glob(os.path.join(self.path, "data", "b*", "*.parquet")):
+            rel = os.path.relpath(fpath, self.path)
+            if rel not in live:
+                os.remove(fpath)
+                removed += 1
+        for p in snaps[:-keep]:
+            os.remove(p)
+        return removed

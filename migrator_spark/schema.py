@@ -1,0 +1,100 @@
+"""Envelope + target-table schemas and additive schema evolution.
+
+The reference is schema-dynamic (``map[string]any`` rows,
+/root/reference/datasources/base.go:58-65) reconciled against declared
+GORM models at connector boundaries (base.go:610-712) with additive
+auto-migration (postgres.go:169-174). Spark-first we keep ONE
+authoritative ``StructType`` per table and reconcile incoming batch
+schemas additively before write — the Arrow-schema-reconciliation step
+mandated by the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- change-event envelope (FIXTURES.md F1) -------------------------------
+# op ∈ {insert, update, delete}; offset is the global total order
+# (= LSN / binlog position of the reference's WAL sources,
+# postgres.go:845-907, mysql.go:789-809).
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
+
+# Key of the target table per BASELINE.json input_hint.
+KEY_COLS = ["repo", "path"]
+ORDER_COL = "offset"
+OP_COL = "op"
+
+ENVELOPE_META_FIELDS = [
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("ts", T.TimestampType(), True),
+]
+
+PAYLOAD_FIELDS = [
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+]
+
+ENVELOPE_SCHEMA = T.StructType(ENVELOPE_META_FIELDS + PAYLOAD_FIELDS)
+
+# --- target table (FIXTURES.md F2) ----------------------------------------
+# content_sha256 is the per-row invariant (Arrow UDF); _last_offset is
+# both lineage and the monotonic replay guard for exactly-once merges.
+SHA_COL = "content_sha256"
+LAST_OFFSET_COL = "_last_offset"
+
+TARGET_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS
+    + [
+        T.StructField(SHA_COL, T.StringType(), True),
+        T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+    ]
+)
+
+
+def payload_fields(envelope: T.StructType) -> list[T.StructField]:
+    """Payload = envelope minus the (offset, op, ts) meta columns."""
+    meta = {f.name for f in ENVELOPE_META_FIELDS}
+    return [f for f in envelope.fields if f.name not in meta]
+
+
+def reconcile_schemas(
+    table_schema: T.StructType, incoming: T.StructType
+) -> tuple[T.StructType, list[T.StructField]]:
+    """Additive schema evolution: union of columns, new ones nullable.
+
+    Reference analogue: GORM ``AutoMigrate`` adding columns
+    (postgres.go:169-174) and upsert-inserts materializing new fields
+    (postgres.go:483-505). Type conflicts are an error — the reference
+    would silently coerce (base.go:610-712); we refuse ambiguity.
+
+    Returns ``(unified_schema, added_fields)``.
+    """
+    existing = {f.name: f for f in table_schema.fields}
+    added: list[T.StructField] = []
+    for f in incoming.fields:
+        if f.name in existing:
+            if existing[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: "
+                    f"table={existing[f.name].dataType} incoming={f.dataType}"
+                )
+        else:
+            added.append(T.StructField(f.name, f.dataType, True))
+    if not added:
+        return table_schema, []
+    return T.StructType(list(table_schema.fields) + added), added
+
+
+def schema_to_json(schema: T.StructType) -> str:
+    return schema.json()
+
+
+def schema_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(__import__("json").loads(s))

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the CDC/ingest workload.
+
+Reference analogue: connection setup + worker-pool sizing
+(/root/reference/pipelines/base.go:57-64, helpers/utils.go:36-54). In
+Spark the "worker pool" is simply task parallelism; the knobs that
+matter at 100 TB are shuffle partitioning, AQE (runtime re-plan +
+skew-join splitting), and Arrow transfer for pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "migrator-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` maps to ``local[N]`` in the sandbox; on a real cluster the
+    same code runs unmodified under ``spark-submit --py-files`` where
+    the master/executors come from the cluster manager.
+    """
+    cores = cores or DEFAULT_CPUS
+    # Shuffle width: at least the core count so every slot has work;
+    # on a 1000-executor cluster this would be sized to ~2-3x total
+    # cores (or left to AQE coalescing, which is enabled below).
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    # Only force a master when none is configured (lets spark-submit
+    # and an already-running session win).
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,92 @@
+"""Pipeline status store — the reference's ``states`` package
+(/root/reference/states/base.go:30-51) re-expressed as a tiny JSON doc
+per pipeline ID with atomic writes.
+
+Structured Streaming's checkpoint directory already persists the
+*data* state (offsets/commits WAL — strictly stronger than the
+reference's ``MigrationOffset``); this doc carries the *job-level*
+status the reference exposes to callers: lifecycle status, progress
+counters, issue text, timestamps — plus the duplicate-run guard
+(pipelines/base.go:386-388, :316-318).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import fcntl
+import json
+import os
+import time
+
+# Mirrors states/base.go:17-28.
+MIGRATION_STATUSES = ("idle", "starting", "in_progress", "completed", "stopped", "failed")
+REPLICATION_STATUSES = ("idle", "starting", "streaming", "paused", "failed")
+
+
+class StateStore:
+    """File-backed state store (reference: states/file.go)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, pipeline_id: str) -> str:
+        return os.path.join(self.root, f"{pipeline_id}.json")
+
+    def get(self, pipeline_id: str) -> dict:
+        p = self._path(pipeline_id)
+        if not os.path.exists(p):
+            return {
+                "migration_status": "idle",
+                "migration_offset": 0,
+                "migration_total": 0,
+                "migration_issue": "",
+                "replication_status": "idle",
+                "replication_issue": "",
+                "lineage": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+            }
+        with open(p) as f:
+            return json.load(f)
+
+    def set(self, pipeline_id: str, state: dict) -> None:
+        p = self._path(pipeline_id)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, p)
+
+    def update(self, pipeline_id: str, **fields) -> dict:
+        st = self.get(pipeline_id)
+        st.update(fields)
+        st["updated_at"] = time.time()
+        self.set(pipeline_id, st)
+        return st
+
+    def delete(self, pipeline_id: str) -> None:
+        p = self._path(pipeline_id)
+        if os.path.exists(p):
+            os.remove(p)
+
+    @contextlib.contextmanager
+    def run_lock(self, pipeline_id: str, kind: str):
+        """Duplicate-run rejection (pipelines/base.go:386-388).
+
+        The reference guards on persisted status text, which wedges the
+        pipeline after a crash (a killed run leaves "streaming" behind
+        forever). We instead hold an OS advisory lock for the lifetime
+        of the run: concurrent duplicate starts are rejected, and a
+        crashed run's lock vanishes with its process so restarts
+        always work — which the north rule's resume-from-checkpoint
+        semantics require."""
+        path = os.path.join(self.root, f"{pipeline_id}.{kind}.lock")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                raise RuntimeError(
+                    f"pipeline {pipeline_id!r} {kind} already running"
+                ) from None
+            yield
+        finally:
+            os.close(fd)  # releases the flock

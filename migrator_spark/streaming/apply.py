@@ -1,0 +1,131 @@
+"""Structured Streaming CDC apply — the reference's ``Pipeline.Stream``
+(/root/reference/pipelines/base.go:305-366) + ``StreamChanges``
+micro-batcher (datasources/base.go:446-604) re-expressed as
+``readStream → foreachBatch(transform → LWW → MERGE)``.
+
+Semantics parity:
+- batch window / batch size (base.go:513-601) → ``trigger(processingTime)``
+  + ``maxFilesPerTrigger``;
+- drain-on-cancel final flush (base.go:532-560) → ``availableNow``
+  trigger / ``query.stop()`` after the in-flight batch commits;
+- within-batch dedup only, never cross-batch (base_test.go:1589-1634)
+  → each micro-batch LWW-deduped independently; cross-batch
+  idempotence comes from the MERGE key + offset guard;
+- resume (pipelines/base.go:377-392) → the checkpoint's offset WAL,
+  plus the table manifest's (stream_id, batch_id) exactly-once record
+  for re-delivered batches.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA
+from migrator_spark.state import StateStore
+
+
+def make_apply_batch(
+    table_path: str,
+    stream_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None = default_cdc_transform,
+    salt_buckets: int = 32,
+    state: StateStore | None = None,
+    pipeline_id: str | None = None,
+    metrics: list | None = None,
+):
+    """Build the foreachBatch body. The table is re-loaded per batch
+    (cheap manifest read) so concurrent readers/compaction see a
+    consistent snapshot chain."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        table = LakeTable.load(batch_df.sparkSession, table_path)
+        df = transform(batch_df) if transform is not None else batch_df
+        lineage = table.merge(
+            df, stream_id=stream_id, batch_id=batch_id, salt_buckets=salt_buckets
+        )
+        elapsed = time.monotonic() - t0
+        record = {
+            "batch_id": batch_id,
+            "elapsed_sec": elapsed,
+            **{k: v for k, v in lineage.items() if k != "per_bucket"},
+        }
+        if metrics is not None:
+            metrics.append({**record, "per_bucket": lineage.get("per_bucket")})
+        if state is not None and pipeline_id is not None and not lineage.get("skipped"):
+            st = state.get(pipeline_id)
+            tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
+            for k in tot:
+                tot[k] += lineage["totals"].get(k, 0)
+            state.update(
+                pipeline_id,
+                replication_status="streaming",
+                lineage=tot,
+                last_batch_id=batch_id,
+                last_batch_sec=elapsed,
+            )
+
+    return apply_batch
+
+
+def start_stream(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    stream_id: str = "cdc",
+    schema=ENVELOPE_SCHEMA,
+    max_files_per_trigger: int | None = 4,
+    processing_time: str | None = None,
+    available_now: bool = False,
+    transform: Callable[[DataFrame], DataFrame] | None = default_cdc_transform,
+    salt_buckets: int = 32,
+    state: StateStore | None = None,
+    pipeline_id: str | None = None,
+    metrics: list | None = None,
+) -> StreamingQuery:
+    """Tail the ordered event log and apply it to the table.
+
+    ``max_files_per_trigger`` is the reference's replication
+    ``BatchSize`` knob; ``processing_time`` its ``BatchWindowSeconds``
+    (README.md:128-129). ``available_now=True`` drains everything
+    currently in the log then stops — the graceful-drain semantics of
+    base.go:532-560 and the mode used by tests/backfill."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(log_dir)
+    writer = stream.writeStream.foreachBatch(
+        make_apply_batch(
+            table_path,
+            stream_id,
+            transform=transform,
+            salt_buckets=salt_buckets,
+            state=state,
+            pipeline_id=pipeline_id,
+            metrics=metrics,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=_normalize_interval(processing_time))
+    return writer.start()
+
+
+def _normalize_interval(v: str) -> str:
+    """Accept compact '5s'/'500ms'/'2m' (the reference's
+    BatchWindowSeconds is a bare int) alongside Spark's '5 seconds'."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(ms|s|m|h)\s*", v)
+    if not m:
+        return v
+    unit = {"ms": "milliseconds", "s": "seconds", "m": "minutes", "h": "hours"}[m.group(2)]
+    return f"{m.group(1)} {unit}"

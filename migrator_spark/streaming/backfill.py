@@ -1,0 +1,114 @@
+"""Bulk backfill ("migration") — the reference's ``Pipeline.Start``
+(/root/reference/pipelines/base.go:369-554) as one batch Spark job.
+
+The reference hand-schedules ParallelBatch OFFSET/LIMIT chunk reads
+into a worker pool (helpers/utils.go:57-118, an O(n²) pattern on SQL
+sources); Spark-first, the parallel read IS the parquet/Iceberg scan's
+split planning — we only express the offset window declaratively and
+let Catalyst prune.
+
+Parity kept: resume offset = max(saved, requested)
+(pipelines/base.go:380-392), duplicate-run guard (:386-388), empty
+source short-circuit (:433-444), progress counters persisted to the
+state store (:506-537).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA
+from migrator_spark.state import StateStore
+
+
+def run_backfill(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    state: StateStore,
+    pipeline_id: str,
+    start_offset: int = 0,
+    max_size: int | None = None,
+    batch_size: int | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = default_cdc_transform,
+    salt_buckets: int = 32,
+    schema=ENVELOPE_SCHEMA,
+) -> dict:
+    """Apply the log slice [start_offset, start_offset + max_size) to
+    the table in ``batch_size``-event MERGE commits (one commit when
+    ``batch_size`` is None). Returns the final state doc."""
+    with state.run_lock(pipeline_id, "migration"):
+        return _run_backfill_locked(
+            spark, log_dir, table_path, state, pipeline_id, start_offset,
+            max_size, batch_size, transform, salt_buckets, schema,
+        )
+
+
+def _run_backfill_locked(
+    spark, log_dir, table_path, state, pipeline_id, start_offset,
+    max_size, batch_size, transform, salt_buckets, schema,
+) -> dict:
+    saved = state.get(pipeline_id).get("migration_offset", 0)
+    effective_start = max(saved, start_offset)  # pipelines/base.go:380-392
+    state.update(pipeline_id, migration_status="starting", migration_offset=effective_start)
+
+    events = spark.read.schema(schema).parquet(f"{log_dir}/events-*.parquet")
+    window = events.filter(F.col("offset") >= effective_start)
+    if max_size is not None:
+        window = window.filter(F.col("offset") < effective_start + max_size)
+
+    bounds = window.agg(
+        F.count(F.lit(1)).alias("n"), F.max("offset").alias("hi")
+    ).collect()[0]
+    total = bounds["n"]
+    if total == 0:  # pipelines/base.go:433-444
+        state.update(pipeline_id, migration_status="stopped", migration_issue="empty source")
+        return state.get(pipeline_id)
+
+    state.update(pipeline_id, migration_status="in_progress", migration_estimate=total)
+    t0 = time.monotonic()
+    try:
+        hi = int(bounds["hi"])
+        step = batch_size or (hi - effective_start + 1)
+        lo = effective_start
+        batch_seq = 0
+        while lo <= hi:
+            chunk = window.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
+            table = LakeTable.load(spark, table_path)
+            df = transform(chunk) if transform is not None else chunk
+            lineage = table.merge(
+                df,
+                stream_id=f"backfill-{pipeline_id}",
+                batch_id=batch_seq,
+                salt_buckets=salt_buckets,
+            )
+            lo += step
+            batch_seq += 1
+            st = state.get(pipeline_id)
+            tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
+            if not lineage.get("skipped"):
+                for k in tot:
+                    tot[k] += lineage["totals"].get(k, 0)
+            state.update(
+                pipeline_id,
+                migration_offset=min(lo, hi + 1),
+                migration_total=st.get("migration_total", 0)
+                + (lineage["totals"]["events"] if not lineage.get("skipped") else 0),
+                lineage=tot,
+            )
+    except Exception as e:  # mirror status=failed + issue text (base.go:123-140)
+        state.update(pipeline_id, migration_status="failed", migration_issue=str(e))
+        raise
+    elapsed = time.monotonic() - t0
+    return state.update(
+        pipeline_id,
+        migration_status="completed",
+        migration_sec=elapsed,
+        migration_events_per_sec=total / elapsed if elapsed > 0 else None,
+    )

@@ -1,0 +1,156 @@
+"""Slice 0 (SURVEY.md §7.2): generator → LWW → MERGE → final state
+equals the pure-Python replay oracle, per-row sha256(content) equality.
+
+Reference analogues: Test_CRUD / Test_Push (datasources/base_test.go:
+202-283, 1070-1228) and testMigration destination-convergence asserts
+(pipelines/base_test.go:107-239)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.gen import fold_oracle, generate_event_log, load_events_pandas
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+
+PAYLOAD_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+)
+
+
+def _assert_table_matches_oracle(table, oracle: pd.DataFrame):
+    got = (
+        table.read()
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(oracle), f"row count {len(got)} != oracle {len(oracle)}"
+    cols = ["repo", "path", "commit", "lang", "content", "content_sha256", "_last_offset"]
+    for c in cols:
+        g = got[c].astype(object).where(got[c].notna(), "∅")
+        o = oracle[c].astype(object).where(oracle[c].notna(), "∅")
+        mismatches = (g != o).sum() if len(got) else 0
+        assert mismatches == 0, f"column {c}: {mismatches} mismatching rows"
+
+
+def _load_log(spark, log_dir):
+    return spark.read.schema(ENVELOPE_SCHEMA).parquet(f"{log_dir}/events-*.parquet")
+
+
+@pytest.fixture(scope="module")
+def small_log(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("log") / "events")
+    generate_event_log(d, num_events=2000, num_keys=150, hot_fraction=0.3, seed=7)
+    return d
+
+
+def test_single_merge_matches_oracle(spark, small_log, tmp_table_dir):
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=8)
+    batch = default_cdc_transform(_load_log(spark, small_log))
+    lineage = table.merge(batch, stream_id="t", batch_id=0, salt_buckets=4)
+    oracle = fold_oracle(load_events_pandas(small_log))
+    _assert_table_matches_oracle(table, oracle)
+    assert lineage["totals"]["events"] == 2000
+    t = lineage["totals"]
+    assert t["applied"] + t["deleted"] + t["deduped"] == 2000
+    assert len(lineage["per_bucket"]) <= 8  # per-partition counters present
+    assert sum(v["applied"] for v in lineage["per_bucket"].values()) == t["applied"]
+
+
+def test_incremental_merges_match_oracle(spark, small_log, tmp_table_dir):
+    """Apply the log in 4 sequential chunks — same final state."""
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=8)
+    events = _load_log(spark, small_log)
+    for i in range(4):
+        chunk = events.filter((F.col("offset") % 4 == 0) if False else
+                              (F.col("offset") >= i * 500) & (F.col("offset") < (i + 1) * 500))
+        table.merge(default_cdc_transform(chunk), stream_id="t", batch_id=i)
+    oracle = fold_oracle(load_events_pandas(small_log))
+    _assert_table_matches_oracle(table, oracle)
+
+
+def test_replay_idempotence_and_offset_guard(spark, small_log, tmp_table_dir):
+    """Re-merging an OLD chunk after newer data must not change state
+    (monotonic offset guard), and re-delivering the same batch_id is a
+    no-op (exactly-once)."""
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=8)
+    events = _load_log(spark, small_log)
+    first = default_cdc_transform(events.filter(F.col("offset") < 1000))
+    rest = default_cdc_transform(events.filter(F.col("offset") >= 1000))
+    table.merge(first, stream_id="t", batch_id=0)
+    table.merge(rest, stream_id="t", batch_id=1)
+    oracle = fold_oracle(load_events_pandas(small_log))
+    _assert_table_matches_oracle(table, oracle)
+    # replay batch 0 with a NEW batch id (not caught by exactly-once) —
+    # the offset guard must keep every newer row.
+    table.merge(first, stream_id="t", batch_id=2)
+    _assert_table_matches_oracle(table, oracle)
+    # replay with an OLD batch id — skipped entirely.
+    res = table.merge(first, stream_id="t", batch_id=1)
+    assert res["skipped"] is True
+    _assert_table_matches_oracle(table, oracle)
+
+
+def test_delete_then_reinsert_order_independent(spark, tmp_table_dir):
+    """LWW by offset is arrival-order independent: shuffle the batch,
+    same result (stronger than the reference's inserts→updates→deletes
+    per-batch ordering, SURVEY.md §7.4 point 4)."""
+    rows = [
+        (0, "insert", None, "r", "a", "c0", "py", "v0\n"),
+        (1, "update", None, "r", "a", "c1", "py", "v1\n"),
+        (2, "delete", None, "r", "a", None, None, None),
+        (3, "insert", None, "r", "a", "c3", "py", "v3\n"),
+        (4, "delete", None, "r", "b", None, None, None),
+        (5, "insert", None, "r", "b", "c5", "py", "v5\n"),
+        (6, "delete", None, "r", "b", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA).orderBy(F.rand(seed=1))
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    table.merge(default_cdc_transform(df))
+    got = {(r["repo"], r["path"]): r for r in table.read().collect()}
+    assert set(got) == {("r", "a")}
+    assert got[("r", "a")]["commit"] == "c3"
+    assert got[("r", "a")]["_last_offset"] == 3
+
+
+def test_schema_evolution_additive(spark, tmp_table_dir):
+    """New nullable column mid-stream: old rows NULL, new rows carry it
+    (reference analogue: AutoMigrate, postgres.go:169-174)."""
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    b1 = spark.createDataFrame(
+        [(0, "insert", None, "r", "a", "c0", "py", "x\n"), (1, "insert", None, "r", "b", "c1", "py", "y\n")],
+        ENVELOPE_SCHEMA,
+    )
+    table.merge(default_cdc_transform(b1), stream_id="s", batch_id=0)
+    evolved = T.StructType(ENVELOPE_SCHEMA.fields + [T.StructField("branch", T.StringType(), True)])
+    b2 = spark.createDataFrame(
+        [(2, "update", None, "r", "b", "c2", "py", "y2\n", "main")], evolved
+    )
+    table.merge(default_cdc_transform(b2), stream_id="s", batch_id=1)
+    assert "branch" in table.schema.names
+    got = {r["path"]: r for r in table.read().collect()}
+    assert got["a"]["branch"] is None
+    assert got["b"]["branch"] == "main"
+    assert got["b"]["commit"] == "c2"
+    # conflicting type change is refused
+    bad = T.StructType(ENVELOPE_SCHEMA.fields + [T.StructField("branch", T.LongType(), True)])
+    b3 = spark.createDataFrame([(3, "update", None, "r", "b", "c3", "py", "z\n", 1)], bad)
+    with pytest.raises(Exception, match="schema conflict"):
+        table.merge(default_cdc_transform(b3), stream_id="s", batch_id=2)
+
+
+def test_time_travel_and_expire(spark, tmp_table_dir):
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    b1 = spark.createDataFrame([(0, "insert", None, "r", "a", "c0", "py", "x\n")], ENVELOPE_SCHEMA)
+    b2 = spark.createDataFrame([(1, "delete", None, "r", "a", None, None, None)], ENVELOPE_SCHEMA)
+    table.merge(default_cdc_transform(b1))
+    v_after_insert = table.version
+    table.merge(default_cdc_transform(b2))
+    assert table.count() == 0
+    old = LakeTable.load_version(spark, tmp_table_dir, v_after_insert)
+    assert old.count() == 1
+    removed = table.expire_snapshots(keep=1)
+    assert removed >= 1

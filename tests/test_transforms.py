@@ -1,0 +1,72 @@
+"""Vectorized transform parity: pandas-UDF sha256 vs JVM sha2, and the
+normalize UDF vs the pure-Python oracle."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from migrator_spark.functions.transforms import (
+    default_cdc_transform,
+    fingerprint_col,
+    nfc_normalize_py,
+    normalize_content,
+    sha256_col,
+    sha256_hex,
+    token_count,
+)
+
+SAMPLES = [
+    "def f(x):\n    return x\n",
+    "line with trailing   \nnext\r\nwindows line\r\n",
+    "unicode: café vs café",  # NFC normalization target
+    "",
+    None,
+    "no newline at end",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "id int, content string")
+
+
+def test_sha256_udf_matches_jvm_and_hashlib(spark):
+    df = _df(spark).withColumn("udf_sha", sha256_hex("content")).withColumn(
+        "jvm_sha", sha256_col("content", use_jvm=True)
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    for i, s in enumerate(SAMPLES):
+        expected = hashlib.sha256(s.encode()).hexdigest() if s is not None else None
+        assert rows[i]["udf_sha"] == expected
+        assert rows[i]["jvm_sha"] == expected
+
+
+def test_normalize_matches_python_oracle(spark):
+    df = _df(spark).withColumn("norm", normalize_content(F.col("content")))
+    rows = {r["id"]: r["norm"] for r in df.collect()}
+    for i, s in enumerate(SAMPLES):
+        assert rows[i] == nfc_normalize_py(s), f"sample {i}"
+
+
+def test_default_cdc_transform_consistency(spark):
+    out = default_cdc_transform(_df(spark)).collect()
+    for r in out:
+        if r["content"] is None:
+            assert r["content_sha256"] is None
+        else:
+            assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "foo bar baz!"), (2, "  FOO   bar  baz! "), (3, None)], "id int, t string"
+    )
+    got = {
+        r["id"]: (r["n"], r["fp"])
+        for r in df.select(
+            "id", token_count(F.col("t")).alias("n"), fingerprint_col("t").alias("fp")
+        ).collect()
+    }
+    assert got[1][0] == 4  # foo, bar, baz, !
+    # fingerprint is whitespace/case-insensitive
+    assert got[1][1] == got[2][1]
+    assert got[3][1] is None
