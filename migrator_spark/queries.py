@@ -1,0 +1,657 @@
+"""Query catalog: one entry per operator family from SURVEY.md §2,
+each expressed Spark-first (DataFrame API / engine operators) with a
+matching ANSI-SQL oracle the driver runs on DuckDB.
+
+Naming contract: every computed column is aliased identically on both
+sides (the driver hash-compares values under sorted column names).
+Floating-point aggregates are rounded on both sides; counts are cast
+to BIGINT in SQL (DuckDB sums of integers widen to HUGEINT otherwise).
+
+The change-event envelope for the CDC queries is derived
+deterministically from the driver's ``events`` table:
+``offset = event_id``, ``key = user_id``, ``op`` mapped from
+``event_type`` (signup/purchase→insert, click/view→update,
+error→delete) — mirroring how the reference maps native CDC messages
+onto its universal envelope (/root/reference/datasources/mongo.go:
+382-426, postgres.go:744-755, mysql.go:735-762).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.operators.dedup import lww_latest
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _op_expr():
+    return (
+        F.when(F.col("event_type").isin("signup", "purchase"), "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+
+# DuckDB-side CTE mirroring envelope(); `offset` is reserved in DuckDB.
+EV_CTE = """
+WITH ev AS (
+  SELECT event_id AS ev_offset,
+         CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         user_id AS key, value, props, ts
+  FROM events
+)
+"""
+
+
+def envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("ev_offset"),
+        _op_expr().alias("op"),
+        F.col("user_id").alias("key"),
+        "value",
+        "props",
+        "ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / upsert / dedup operator queries (SURVEY.md §2.4, §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final visible state after replaying the envelope log: LWW per
+    key by offset, winner deletes drop the key — the engine's core
+    merge semantics (lww_latest is the production operator)."""
+    ev = envelope(spark, sf_dir)
+    win = lww_latest(ev, ["key"], "ev_offset", salt_buckets=4)
+    return win.filter(F.col("op") != "delete").select(
+        "key",
+        F.col("ev_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
+SQL_CDC_LWW_FINAL_STATE = EV_CTE + """
+SELECT key,
+       ev_offset AS last_offset,
+       value AS last_value,
+       props AS last_props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applied/deduped/deleted lineage counters over one replay window
+    (reference analogue: migration progress counters,
+    pipelines/base.go:506-537)."""
+    ev = envelope(spark, sf_dir)
+    win = lww_latest(ev, ["key"], "ev_offset")
+    n_events = ev.count()
+    agg = win.agg(
+        F.count(F.lit(1)).alias("winners"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deleted"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_events,
+                int(agg["winners"] - agg["deleted"]),
+                int(agg["deleted"]),
+                int(n_events - agg["winners"]),
+            )
+        ],
+        "n_events bigint, applied bigint, deleted bigint, deduped bigint",
+    )
+
+
+SQL_CDC_LINEAGE_TOTALS = EV_CTE + """
+, win AS (
+  SELECT * FROM (
+    SELECT op, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events,
+       CAST(count(*) FILTER (WHERE op <> 'delete') AS BIGINT) AS applied,
+       CAST(count(*) FILTER (WHERE op = 'delete') AS BIGINT) AS deleted,
+       CAST((SELECT count(*) FROM ev) - count(*) AS BIGINT) AS deduped
+FROM win
+"""
+
+
+def q_cdc_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-batch duplicate detection per 500-event window — the
+    reference's per-window seenHashes dedup (datasources/base.go:
+    454-511): raw count vs distinct (key, op, props) envelopes."""
+    ev = envelope(spark, sf_dir)
+    sig = F.concat_ws("#", F.col("key"), F.col("op"), F.col("props"))
+    return (
+        ev.withColumn("batch_id", F.floor(F.col("ev_offset") / 500))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct(sig).alias("n_unique"),
+        )
+    )
+
+
+SQL_CDC_BATCH_DEDUP = EV_CTE + """
+SELECT CAST(FLOOR(ev_offset / 500) AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT key || '#' || op || '#' || props) AS BIGINT) AS n_unique
+FROM ev GROUP BY 1
+"""
+
+
+def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only aggregate: count honoring offset/size —
+    min(max(total - offset, 0), size) (datasources/memory.go:64-96 and
+    the 17-case table at base_test.go:777-867). offset=100, size=5000,
+    filter = non-delete events."""
+    ev = envelope(spark, sf_dir).filter(F.col("op") != "delete")
+    total = ev.count()
+    return spark.createDataFrame(
+        [(int(min(max(total - 100, 0), 5000)),)], "n bigint"
+    )
+
+
+SQL_COUNT_WINDOW = EV_CTE + """
+SELECT CAST(LEAST(GREATEST(count(*) - 100, 0), 5000) AS BIGINT) AS n
+FROM ev WHERE op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# scan / filter / sort / paginate (SURVEY.md §2.1, §2.2, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_fetch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted pagination — Fetch(Offset, Size) with default id-order
+    (datasources/base.go:49-56, postgres.go:330-337)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy("c_name")
+        .offset(10)
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+SQL_FETCH_PAGE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_name OFFSET 10 LIMIT 20
+"""
+
+
+def q_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-filter scan (postgres.go:30-36): predicate pushed to the
+    parquet reader by Catalyst (check PushedFilters in explain)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_FILTER_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+"""
+
+
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configured multi-column sort (postgres.go:311-325) with a
+    deterministic tiebreaker."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.asc("event_type"), F.desc("value"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "event_type", "value")
+    )
+
+
+SQL_SORT_MULTI = """
+SELECT event_id, event_type, value FROM events
+ORDER BY event_type ASC, value DESC, event_id ASC LIMIT 100
+"""
+
+
+def q_sort_number_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number-aware string sort (helpers/utils.go:164-191): order by
+    the integer embedded in the string, then lexicographically."""
+    c = _t(spark, sf_dir, "customer")
+    num = F.regexp_extract(F.col("c_name"), "[0-9]+", 0).cast("bigint")
+    return (
+        c.orderBy(num.desc(), F.asc("c_name"))
+        .limit(50)
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_SORT_NUMBER_AWARE = """
+SELECT c_custkey, c_name FROM customer
+ORDER BY CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) DESC, c_name ASC LIMIT 50
+"""
+
+
+def q_id_set_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-set predicate — Fetch(IDs=[...]) / id IN (...)
+    (postgres.go:278-280, mongo.go:235-237)."""
+    ids = [1, 5, 8, 13, 21, 34, 55, 89]
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isin(ids))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_ID_SET_FETCH = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (1, 5, 8, 13, 21, 34, 55, 89)
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar functions / coercion / flatten (SURVEY.md §2.2, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string auto-detection + dotted-path flatten
+    (datasources/base.go:620-638, helpers/utils.go:217-243)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.select(k.alias("k_str"))
+        .groupBy("k_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_FLATTEN_JSON = """
+SELECT json_extract_string(props, '$.k') AS k_str, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed coercion of dynamic values — ParseGormFieldValue
+    (datasources/base.go:610-712): int/bool/timestamp casts."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.floor(F.col("value")).cast("bigint").alias("value_int"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        (F.col("value") > 100).alias("is_high"),
+        F.to_date(F.col("ts")).alias("day"),
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+SQL_TYPE_COERCION = """
+SELECT event_id,
+       CAST(FLOOR(value) AS BIGINT) AS value_int,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       value > 100 AS is_high,
+       CAST(ts AS DATE) AS day,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+FROM events
+"""
+
+
+def q_sha256_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256 fingerprint of content (datasources/base.go:454-465;
+    the per-row invariant of BASELINE.json input_hint)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
+
+
+SQL_SHA256_DOCS = "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# aggregation / join / top-k (engine health beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation over lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer⨝orders⨝nation with an explicitly broadcast dim —
+    small sides never shuffle the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_ORDERS_NATION = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders, per market segment — the
+    delete-by-absent-ID shape (deletes are anti-joins, SURVEY.md §2.4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_idle"))
+    )
+
+
+SQL_ANTI_JOIN_IDLE_CUSTOMERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_idle
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis / dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/word-regex) per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9_]+"), 0)).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alpha ratio, stopword hits, mean word length —
+    the heuristics of a pretraining-data quality filter."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9_]+"), 0))
+    stops = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|a|of|and|in)\b"), 0))
+    return d.select(
+        "doc_id",
+        F.round(alpha / F.nullif(n, F.lit(0)), 4).alias("alpha_ratio"),
+        F.round(stops / F.nullif(words, F.lit(0)), 4).alias("stop_ratio"),
+        F.round(alpha / F.nullif(words, F.lit(0)), 4).alias("mean_word_len"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / NULLIF(length(text), 0), 4) AS alpha_ratio,
+       ROUND(array_length(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) / NULLIF(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0), 4) AS stop_ratio,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / NULLIF(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0), 4) AS mean_word_len
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical fingerprint (lowercase, collapsed
+    whitespace) → keep min doc_id per group."""
+    from migrator_spark.functions.transforms import fingerprint_col
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint_col("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID support profile: per declared lang, corpus stats the
+    n-gram classifier trains on."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.avg(F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9_]+"), 0))), 4
+        ).alias("avg_tokens"),
+    )
+
+
+SQL_LANG_PROFILE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+'))), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed query vector
+    (vec_id=0) — the exact baseline for ANN; JVM-side arithmetic via
+    zip_with/aggregate (no Python in the loop)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("emb")) * norm(F.col("qv"))), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# the flagship: full engine replay (LakeTable MERGE path) vs SQL oracle
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END engine run: derive the envelope from ``events``,
+    MERGE it through the LakeTable (salted LWW, tombstones,
+    exactly-once bookkeeping) in 4 sequential micro-batches, and read
+    back the final visible state. The oracle is plain window SQL — this
+    is the correctness gate for the real production code path."""
+    from migrator_spark.plans.laketable import LakeTable
+
+    ev = envelope(spark, sf_dir).withColumnRenamed("ev_offset", "offset")
+    payload = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-apply-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
+    n = ev.agg(F.max("offset")).collect()[0][0] + 1
+    step = max(1, n // 4)
+    b = 0
+    lo = 0
+    while lo < n:
+        chunk = ev.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
+        table.merge(chunk, stream_id="q", batch_id=b, salt_buckets=4)
+        lo += step
+        b += 1
+    out = table.read().select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    # materialize before the temp table is GC'd by the OS later;
+    # .cache + count pins the result
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_APPLY_FULL = SQL_CDC_LWW_FINAL_STATE
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_apply_full": q_cdc_apply_full,
+    "cdc_lww_final_state": q_cdc_lww_final_state,
+    "cdc_lineage_totals": q_cdc_lineage_totals,
+    "cdc_batch_dedup": q_cdc_batch_dedup,
+    "count_window": q_count_window,
+    "fetch_page": q_fetch_page,
+    "filter_scan": q_filter_scan,
+    "sort_multi": q_sort_multi,
+    "sort_number_aware": q_sort_number_aware,
+    "id_set_fetch": q_id_set_fetch,
+    "flatten_json": q_flatten_json,
+    "type_coercion": q_type_coercion,
+    "sha256_docs": q_sha256_docs,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_orders_nation": q_join_orders_nation,
+    "anti_join_idle_customers": q_anti_join_idle_customers,
+    "topk_orders": q_topk_orders,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
+    "lang_profile": q_lang_profile,
+    "embedding_topk": q_embedding_topk,
+}
+
+ORACLES = {
+    "cdc_apply_full": SQL_CDC_APPLY_FULL,
+    "cdc_lww_final_state": SQL_CDC_LWW_FINAL_STATE,
+    "cdc_lineage_totals": SQL_CDC_LINEAGE_TOTALS,
+    "cdc_batch_dedup": SQL_CDC_BATCH_DEDUP,
+    "count_window": SQL_COUNT_WINDOW,
+    "fetch_page": SQL_FETCH_PAGE,
+    "filter_scan": SQL_FILTER_SCAN,
+    "sort_multi": SQL_SORT_MULTI,
+    "sort_number_aware": SQL_SORT_NUMBER_AWARE,
+    "id_set_fetch": SQL_ID_SET_FETCH,
+    "flatten_json": SQL_FLATTEN_JSON,
+    "type_coercion": SQL_TYPE_COERCION,
+    "sha256_docs": SQL_SHA256_DOCS,
+    "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+    "join_orders_nation": SQL_JOIN_ORDERS_NATION,
+    "anti_join_idle_customers": SQL_ANTI_JOIN_IDLE_CUSTOMERS,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "lang_profile": SQL_LANG_PROFILE,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+}

@@ -77,19 +77,20 @@ def _run_backfill_locked(
         hi = int(bounds["hi"])
         step = batch_size or (hi - effective_start + 1)
         lo = effective_start
-        batch_seq = 0
         while lo <= hi:
             chunk = window.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
             table = LakeTable.load(spark, table_path)
             df = transform(chunk) if transform is not None else chunk
+            # batch_id = chunk start offset: monotonic ACROSS resumed
+            # runs (a fresh 0,1,2,… sequence would collide with the
+            # previous run's committed ids and be skipped as replays).
             lineage = table.merge(
                 df,
                 stream_id=f"backfill-{pipeline_id}",
-                batch_id=batch_seq,
+                batch_id=lo,
                 salt_buckets=salt_buckets,
             )
             lo += step
-            batch_seq += 1
             st = state.get(pipeline_id)
             tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
             if not lineage.get("skipped"):

@@ -1,0 +1,84 @@
+"""Mirror of the driver's correctness gate: run every ``queries()``
+entry on Spark and its ``oracle_sql()`` on DuckDB at sf0.01, compare
+row count, column names, and an order-insensitive value hash."""
+
+import hashlib
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    return str(v)
+
+
+def _hash_rows(cols, rows):
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    hashes = sorted(
+        hashlib.md5("|".join(_canon(r[i]) for i in order).encode()).hexdigest()
+        for r in rows
+    )
+    return hashlib.md5("\n".join(hashes).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    qfn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = qfn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+    ores = ddb.execute(sql).fetchall()
+    ocols = [d[0] for d in ddb.description]
+    assert sorted(scols) == sorted(ocols), f"{name}: columns {scols} vs {ocols}"
+    assert len(srows) == len(ores), f"{name}: rows {len(srows)} vs {len(ores)}"
+    sh = _hash_rows(scols, srows)
+    oh = _hash_rows(ocols, ores)
+    if sh != oh:
+        # debug aid: find first differing canonical row
+        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+        order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        a = sorted("|".join(_canon(r[i]) for i in order_s) for r in srows)
+        b = sorted("|".join(_canon(r[i]) for i in order_o) for r in ores)
+        diff = next((x for x in zip(a, b) if x[0] != x[1]), None)
+        pytest.fail(f"{name}: value hash mismatch; first diff: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"key", "last_offset", "last_value", "last_props"}

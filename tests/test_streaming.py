@@ -1,0 +1,172 @@
+"""Streaming apply semantics — parity with the reference micro-batcher
+(StreamChanges, datasources/base.go:446-604) and pipeline replication
+suite (pipelines/base_test.go:242-518): batch-size batching, dedup
+within (never across) batches, drain-on-stop, checkpoint resume,
+lineage counters."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.gen import fold_oracle, generate_event_log, load_events_pandas
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+from migrator_spark.state import StateStore
+from migrator_spark.streaming.apply import start_stream
+from migrator_spark.streaming.backfill import run_backfill
+
+PAYLOAD_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+)
+
+
+@pytest.fixture(scope="module")
+def log(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("slog") / "events")
+    generate_event_log(d, num_events=3000, num_keys=200, hot_fraction=0.4, seed=11, num_files=6)
+    return d
+
+
+def _mktable(spark, path):
+    return LakeTable.create(spark, path, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=8)
+
+
+def _drain(spark, log, table_dir, ckpt, files_per_trigger=2, metrics=None, state=None, pid=None):
+    q = start_stream(
+        spark, log, table_dir, ckpt,
+        max_files_per_trigger=files_per_trigger, available_now=True,
+        salt_buckets=4, metrics=metrics, state=state, pipeline_id=pid,
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_stream_drain_matches_oracle_with_lineage(spark, log, tmp_path):
+    _mktable(spark, str(tmp_path / "t"))
+    metrics = []
+    state = StateStore(str(tmp_path / "state"))
+    _drain(spark, log, str(tmp_path / "t"), str(tmp_path / "ck"), metrics=metrics,
+           state=state, pid="p1")
+    # multiple micro-batches happened (batch semantics, not one blob)
+    assert len(metrics) >= 3
+    # per-batch lineage: per-bucket counters present, totals consistent
+    total_events = sum(m["totals"]["events"] for m in metrics)
+    assert total_events == 3000
+    for m in metrics:
+        assert sum(v["events"] for v in m["per_bucket"].values()) == m["totals"]["events"]
+    # state doc accumulated the same totals
+    st = state.get("p1")
+    assert st["lineage"]["events"] == 3000
+    # final state equals oracle
+    table = LakeTable.load(spark, str(tmp_path / "t"))
+    oracle = fold_oracle(load_events_pandas(log))
+    got = table.read().orderBy("repo", "path").toPandas()
+    assert len(got) == len(oracle)
+    assert list(got["content_sha256"]) == list(oracle["content_sha256"])
+
+
+def test_checkpoint_resume_is_exactly_once(spark, log, tmp_path):
+    """Stop after the first trigger, restart on the same checkpoint:
+    no event is double-applied, final state identical to one-shot."""
+    tdir, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    _mktable(spark, tdir)
+    metrics = []
+    q = start_stream(
+        spark, log, tdir, ck, max_files_per_trigger=1, available_now=False,
+        processing_time="1 seconds", salt_buckets=4, metrics=metrics,
+    )
+    while not metrics:  # wait for ≥1 committed batch then hard-stop
+        q.awaitTermination(1)
+    q.stop()
+    q.awaitTermination()
+    v_mid = LakeTable.load(spark, tdir).version
+    assert v_mid >= 2
+    metrics2 = []
+    _drain(spark, log, tdir, ck, files_per_trigger=1, metrics=metrics2)
+    table = LakeTable.load(spark, tdir)
+    oracle = fold_oracle(load_events_pandas(log))
+    got = table.read().orderBy("repo", "path").toPandas()
+    assert len(got) == len(oracle)
+    assert list(got["content"]) == list(oracle["content"])
+    # lineage totals across both runs cover exactly the whole log
+    seen = {}
+    for m in metrics + metrics2:
+        if not m.get("skipped"):
+            seen[m["batch_id"]] = m["totals"]["events"]
+    assert sum(seen.values()) == 3000
+
+
+def test_no_cross_batch_dedup(spark, tmp_path):
+    """Identical payloads in different micro-batches are both applied
+    (LWW picks the later offset) — the reference's explicit
+    'no deduplication across batches' (base_test.go:1589-1634)."""
+    tdir = str(tmp_path / "t")
+    table = _mktable(spark, tdir)
+    mk = lambda off: [(off, "insert", None, "r", "a", "c", "py", "same\n")]
+    table.merge(default_cdc_transform(spark.createDataFrame(mk(1), ENVELOPE_SCHEMA)),
+                stream_id="s", batch_id=0)
+    table.merge(default_cdc_transform(spark.createDataFrame(mk(2), ENVELOPE_SCHEMA)),
+                stream_id="s", batch_id=1)
+    rows = table.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["_last_offset"] == 2  # second batch applied, not deduped away
+    log = table.lineage_log()
+    assert log[-1]["totals"]["applied"] == 1
+
+
+def test_backfill_resume_and_guard(spark, log, tmp_path):
+    tdir = str(tmp_path / "t")
+    _mktable(spark, tdir)
+    state = StateStore(str(tmp_path / "state"))
+    st = run_backfill(spark, log, tdir, state, "p1", start_offset=0, max_size=1500,
+                      batch_size=750, salt_buckets=4)
+    assert st["migration_status"] == "completed"
+    assert st["migration_offset"] == 1500
+    # resume: requested offset 0 but saved offset 1500 wins (max(saved, requested))
+    st2 = run_backfill(spark, log, tdir, state, "p1", start_offset=0, salt_buckets=4)
+    assert st2["migration_status"] == "completed"
+    oracle = fold_oracle(load_events_pandas(log))
+    got = LakeTable.load(spark, tdir).read().orderBy("repo", "path").toPandas()
+    assert len(got) == len(oracle)
+    assert list(got["_last_offset"]) == list(oracle["_last_offset"])
+    # empty window → stopped + issue recorded (pipelines/base.go:433-444)
+    st3 = run_backfill(spark, log, tdir, state, "p-empty", start_offset=10**9, salt_buckets=4)
+    assert st3["migration_status"] == "stopped"
+    assert "empty" in st3["migration_issue"]
+
+
+def test_duplicate_run_lock(spark, tmp_path):
+    state = StateStore(str(tmp_path / "state"))
+    with state.run_lock("p1", "migration"):
+        with pytest.raises(RuntimeError, match="already running"):
+            with state.run_lock("p1", "migration"):
+                pass
+    # released after exit
+    with state.run_lock("p1", "migration"):
+        pass
+
+
+def test_schema_evolution_through_stream(spark, tmp_path):
+    """Log whose later files carry a new column: streamed with the
+    evolved schema end-to-end; early rows read NULL for it."""
+    d = str(tmp_path / "log")
+    generate_event_log(d, num_events=400, num_keys=40, seed=3, num_files=4,
+                       with_branch=True, evolution_offset=200)
+    evolved = T.StructType(ENVELOPE_SCHEMA.fields + [T.StructField("branch", T.StringType(), True)])
+    tdir = str(tmp_path / "t")
+    LakeTable.create(spark, tdir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    q = start_stream(spark, d, tdir, str(tmp_path / "ck"), schema=evolved,
+                     max_files_per_trigger=2, available_now=True, salt_buckets=4)
+    q.awaitTermination()
+    table = LakeTable.load(spark, tdir)
+    assert "branch" in table.schema.names
+    got = table.read()
+    oracle = fold_oracle(load_events_pandas(d))
+    assert got.count() == len(oracle)
+    # rows whose final write predates the evolution have NULL branch
+    assert got.filter((F.col("_last_offset") < 200) & F.col("branch").isNotNull()).count() == 0
+    ob = oracle.set_index(["repo", "path"])["branch"]
+    gb = {(r["repo"], r["path"]): r["branch"] for r in got.collect()}
+    for k, v in ob.items():
+        assert gb[k] == (None if v is None or (isinstance(v, float)) else v)
