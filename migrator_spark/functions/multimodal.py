@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The sandbox has no image/audio codecs, so the DECODE step is stubbed:
+``fake=True`` (default) runs a deterministic header-parse fake so the
+Spark-side plumbing — schema, batch shape, partitioning, UDF signature
+— is real and tested; ``fake=False`` raises ``NotImplementedError``
+where Pillow/librosa/pyav would plug in (clearly marked below).
+
+Layout convention for a multimodal corpus table:
+  media(doc_id bigint, kind string, meta struct<...>, data binary)
+where ``data`` stays opaque until a decode/feature stage, and the
+table is stored with ``data`` in its own parquet column so metadata
+scans never read the bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bytes_sha256", T.StringType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def fake_image_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake 'image': 8-byte header (w,h int32 BE) + a
+    seeded byte payload. Stands in for a real PNG/JPEG in tests."""
+    rng = np.random.RandomState(doc_id % (2**31))
+    header = int(width).to_bytes(4, "big") + int(height).to_bytes(4, "big")
+    body = rng.randint(0, 256, size=width * height, dtype=np.int32).astype(np.uint8).tobytes()
+    return header + body
+
+
+def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract images with ``mapInPandas``: Arrow
+    batches in, Arrow batches out — bytes never cross as Python
+    objects row-by-row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                if data is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
+                if not fake:
+                    # REAL DECODE GOES HERE: Pillow `Image.open(io.BytesIO(data))`
+                    # — codec libraries are not available in this container.
+                    raise NotImplementedError("real image decode requires Pillow")
+                w = int.from_bytes(data[:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                body = np.frombuffer(data[8:], dtype=np.uint8)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        1,
+                        hashlib.sha256(data).hexdigest(),
+                        float(body.mean()) if body.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "bytes_sha256", "mean_luma"],
+            )
+
+    return df.select("doc_id", "data").mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, target: int = 64, fake: bool = True) -> DataFrame:
+    """Resize stage: binary in → binary out, same mapInPandas shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("data", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                if data is None:
+                    rows.append((doc_id, None))
+                    continue
+                if not fake:
+                    raise NotImplementedError("real resize requires Pillow")
+                # fake resize: keep header with new dims, truncate body
+                body = data[8:][: target * target]
+                rows.append(
+                    (doc_id, int(target).to_bytes(4, "big") + int(target).to_bytes(4, "big") + body)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+    return df.select("doc_id", "data").mapInPandas(gen, out_schema)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30, fake: bool = True) -> DataFrame:
+    """Frame-sampling stage for video: one row in → N frame rows out
+    (mapInPandas naturally expresses 1→N). Fake: header declares frame
+    count; emits every ``every_n``-th frame index + a frame fingerprint."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_sha256", T.StringType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                if data is None:
+                    continue
+                if not fake:
+                    raise NotImplementedError("real frame sampling requires pyav/ffmpeg")
+                n_frames = int.from_bytes(data[:4], "big")
+                for idx in range(0, n_frames, every_n):
+                    fp = hashlib.sha256(data + idx.to_bytes(4, "big")).hexdigest()
+                    rows.append((doc_id, idx, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha256"])
+
+    return df.select("doc_id", "data").mapInPandas(gen, out_schema)
+
+
+def make_media_table(spark, n: int = 64, width: int = 32, height: int = 32) -> DataFrame:
+    """Deterministic fake media corpus for tests/benches."""
+    rows = [
+        (i, "image", "image/x-fake", fake_image_bytes(i, width, height)) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

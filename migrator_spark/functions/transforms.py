@@ -17,25 +17,36 @@ import unicodedata
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _arrow_normalize(s: pd.Series) -> pd.Series:
+    """NFC unicode, CRLF→LF, strip trailing whitespace per line, single
+    trailing newline for non-empty content — all on pyarrow compute
+    kernels (C++/RE2), which measure ~5x faster than pandas ``.str``
+    regex ops (Python ``re``) on kilobyte code files."""
+    # NFC in pandas (ICU-correct and cheap — ~0.01s/60k rows); pyarrow
+    # 16's utf8_normalize ignores the form option (NFC==NFD output).
+    s = s.str.normalize("NFC")
+    arr = pa.Array.from_pandas(s, type=pa.string())  # all-null batches infer null type otherwise
+    arr = pc.replace_substring(arr, pattern="\r\n", replacement="\n")
+    arr = pc.replace_substring(arr, pattern="\r", replacement="\n")
+    arr = pc.replace_substring_regex(arr, pattern=r"[ \t]+\n", replacement="\n")
+    arr = pc.replace_substring_regex(arr, pattern=r"[ \t\n]+$", replacement="")
+    out = arr.to_pandas()
+    return out.mask(out.str.len() > 0, out + "\n")
+
+
 @pandas_udf(T.StringType())
 def normalize_content(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Content normalization: NFC unicode, CRLF→LF, strip trailing
-    whitespace per line, ensure single trailing newline for non-empty
-    content. Arrow-batched; pandas ``.str`` ops are vectorized."""
+    """Content normalization as an Arrow-vectorized UDF."""
     for s in batches:
-        out = s.str.normalize("NFC")
-        out = out.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
-        # strip trailing spaces/tabs before newlines and at end
-        out = out.str.replace(r"[ \t]+\n", "\n", regex=True)
-        out = out.str.replace(r"[ \t\n]+$", "", regex=True)
-        out = out.mask(out.str.len() > 0, out + "\n")
-        yield out
+        yield _arrow_normalize(s)
 
 
 @pandas_udf(T.StringType())
@@ -87,11 +98,39 @@ def nfc_normalize_py(v: str | None) -> str | None:
     return out + "\n" if out else out
 
 
+_NORM_SHA_TYPE = T.StructType(
+    [
+        T.StructField("content", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+    ]
+)
+
+
+@pandas_udf(_NORM_SHA_TYPE)
+def _normalize_and_sha(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Fused normalize+sha in ONE Arrow exchange: chaining two pandas
+    UDFs costs two Python stages and evaluates the normalizer twice
+    (no cross-UDF CSE); fusing halves the per-batch Python overhead."""
+    for s in batches:
+        out = _arrow_normalize(s)
+        sha = out.map(
+            lambda v: hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None,
+            na_action="ignore",
+        )
+        yield pd.DataFrame({"content": out, "content_sha256": sha})
+
+
 def default_cdc_transform(df: DataFrame, content_col: str = "content") -> DataFrame:
     """The pipeline transform for the CDC apply path: normalize content
     and fingerprint it. Delete envelopes carry NULL content and pass
-    through untouched (sha of NULL is NULL)."""
-    normalized = normalize_content(F.col(content_col))
-    return df.withColumn(content_col, normalized).withColumn(
-        "content_sha256", sha256_hex(F.col(content_col))
-    )
+    through untouched (sha of NULL is NULL).
+
+    Intended to run AFTER LWW dedup (LakeTable.merge(transform=...)):
+    it is row-wise deterministic, so transforming only the per-key
+    winners is equivalent to the reference's transform-every-event
+    (pipelines/base.go:190-247) but does O(keys) Python work per batch
+    instead of O(events)."""
+    ns = _normalize_and_sha(F.col(content_col))
+    return df.withColumn("_ns", ns).withColumn(
+        content_col, F.col("_ns.content")
+    ).withColumn("content_sha256", F.col("_ns.content_sha256")).drop("_ns")

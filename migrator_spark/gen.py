@@ -63,6 +63,7 @@ def generate_event_log(
     with_branch: bool = False,
     evolution_offset: int | None = None,
     overwrite: bool = False,
+    content_repeat: int = 2,
 ) -> dict:
     """Write the event log to ``out_dir`` as ordered parquet chunks.
 
@@ -81,7 +82,8 @@ def generate_event_log(
         "num_files": num_files,
         "with_branch": with_branch,
         "evolution_offset": evolution_offset,
-        "version": 3,
+        "content_repeat": content_repeat,
+        "version": 6,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path) and not overwrite:
@@ -93,78 +95,88 @@ def generate_event_log(
     os.makedirs(out_dir)
 
     num_repos = num_repos or max(2, num_keys // 64)
-    rng = np.random.RandomState(seed)
-
-    offsets = np.arange(num_events, dtype=np.int64)
-    # key assignment with optional hot repo: repo 0 owns the first
-    # num_keys//num_repos key ids and receives `hot_fraction` of events.
     keys_per_repo = max(1, num_keys // num_repos)
-    uniform_keys = rng.randint(0, num_keys, size=num_events)
-    if hot_fraction > 0:
-        hot_mask = rng.rand(num_events) < hot_fraction
-        hot_keys = rng.randint(0, keys_per_repo, size=num_events)
-        key_ids = np.where(hot_mask, hot_keys, uniform_keys)
-    else:
-        key_ids = uniform_keys
-    repo_ids = np.minimum(key_ids // keys_per_repo, num_repos - 1)
 
-    r = rng.rand(num_events)
-    ops = np.full(num_events, "insert", dtype=object)
-    ops[r < update_ratio + delete_ratio] = "update"
-    ops[r < delete_ratio] = "delete"
-
-    repo = pd.Series(repo_ids).map(lambda i: f"repo-{i:05d}").to_numpy()
-    path_ids = key_ids % keys_per_repo
-    path = (
-        "src/m"
-        + pd.Series(path_ids // 16).astype(str)
-        + "/f"
-        + pd.Series(path_ids).astype(str)
-        + "."
-        + pd.Series(LANGS[key_ids % len(LANGS)])
-    ).to_numpy()
-    # 40-char deterministic hex-alphabet commit id from (key, offset).
-    commit = (
-        pd.Series(key_ids).astype(str).str.zfill(20)
-        + pd.Series(offsets).astype(str).str.zfill(20)
-    ).to_numpy()
-    lang = LANGS[key_ids % len(LANGS)]
-
-    header = (
-        "// " + pd.Series(repo) + "/" + pd.Series(path) + " @" + pd.Series(offsets).astype(str) + "\n"
-    )
-    body = pd.Series(_CHUNKS[offsets % len(_CHUNKS)]).str.repeat((offsets % 3 + 1).tolist())
-    content = (header + body).to_numpy(dtype=object)
-    content[ops == "delete"] = None
-    lang = lang.astype(object)
-    commit_o = commit.astype(object)
-
-    ts = (np.datetime64("2024-01-01T00:00:00") + offsets.astype("timedelta64[s]")).astype(
-        "datetime64[us]"
-    )
-
-    cols: dict[str, pa.Array] = {
-        "offset": pa.array(offsets, pa.int64()),
-        "op": pa.array(ops, pa.string()),
-        "ts": pa.array(ts, pa.timestamp("us")),
-        "repo": pa.array(repo, pa.string()),
-        "path": pa.array(path, pa.string()),
-        "commit": pa.array(commit_o, pa.string()),
-        "lang": pa.array(lang, pa.string()),
-        "content": pa.array(content, pa.string()),
-    }
-    if with_branch:
-        ev = evolution_offset if evolution_offset is not None else 0
-        branch = np.where(offsets >= ev, np.where(key_ids % 3 == 0, "dev", "main"), None)
-        cols["branch"] = pa.array(branch.astype(object), pa.string())
-    table = pa.table(cols)
-
+    # Generated one file-chunk at a time so memory stays O(chunk) —
+    # the bench tier goes to tens of millions of KB-sized rows.
     chunk = -(-num_events // num_files)
     for i in range(num_files):
         lo, hi = i * chunk, min((i + 1) * chunk, num_events)
         if lo >= hi:
             break
-        pq.write_table(table.slice(lo, hi - lo), os.path.join(out_dir, f"events-{i:05d}.parquet"))
+        n = hi - lo
+        rng = np.random.RandomState(seed * 1_000_003 + i)  # per-chunk stream
+        offsets = np.arange(lo, hi, dtype=np.int64)
+        # key assignment with optional hot repo: repo 0 owns the first
+        # keys_per_repo key ids and receives `hot_fraction` of events.
+        uniform_keys = rng.randint(0, num_keys, size=n)
+        if hot_fraction > 0:
+            hot_mask = rng.rand(n) < hot_fraction
+            hot_keys = rng.randint(0, keys_per_repo, size=n)
+            key_ids = np.where(hot_mask, hot_keys, uniform_keys)
+        else:
+            key_ids = uniform_keys
+        repo_ids = np.minimum(key_ids // keys_per_repo, num_repos - 1)
+
+        r = rng.rand(n)
+        ops = np.full(n, "insert", dtype=object)
+        ops[r < update_ratio + delete_ratio] = "update"
+        ops[r < delete_ratio] = "delete"
+
+        repo = ("repo-" + pd.Series(repo_ids).astype(str).str.zfill(5)).to_numpy()
+        path_ids = key_ids % keys_per_repo
+        path = (
+            "src/m"
+            + pd.Series(path_ids // 16).astype(str)
+            + "/f"
+            + pd.Series(path_ids).astype(str)
+            + "."
+            + pd.Series(LANGS[key_ids % len(LANGS)])
+        ).to_numpy()
+        # 40-char deterministic hex-alphabet commit id from (key, offset).
+        commit = (
+            pd.Series(key_ids).astype(str).str.zfill(20)
+            + pd.Series(offsets).astype(str).str.zfill(20)
+        ).to_numpy()
+        lang = LANGS[key_ids % len(LANGS)]
+
+        header = (
+            "// " + pd.Series(repo) + "/" + pd.Series(path)
+            + " @" + pd.Series(offsets).astype(str) + "\n"
+        )
+        # avg body ≈ content_repeat × ~110 bytes (source files are
+        # KB-ish; content_repeat=8 ≈ 1 KB average for the bench tier)
+        reps = offsets % (2 * content_repeat - 1) + 1
+        body = pd.Series(_CHUNKS[offsets % len(_CHUNKS)]).str.repeat(reps.tolist())
+        content = (header + body).to_numpy(dtype=object)
+        content[ops == "delete"] = None
+
+        ts = (
+            np.datetime64("2024-01-01T00:00:00") + offsets.astype("timedelta64[s]")
+        ).astype("datetime64[us]")
+
+        cols: dict[str, pa.Array] = {
+            "offset": pa.array(offsets, pa.int64()),
+            "op": pa.array(ops, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array(commit.astype(object), pa.string()),
+            "lang": pa.array(lang.astype(object), pa.string()),
+            "content": pa.array(content, pa.string()),
+        }
+        if with_branch:
+            ev = evolution_offset if evolution_offset is not None else 0
+            branch = np.where(offsets >= ev, np.where(key_ids % 3 == 0, "dev", "main"), None)
+            cols["branch"] = pa.array(branch.astype(object), pa.string())
+        # Small row groups: Spark can only split files at row-group
+        # boundaries, so one-group files cap scan parallelism at the
+        # file count no matter how many cores exist.
+        pq.write_table(
+            pa.table(cols),
+            os.path.join(out_dir, f"events-{i:05d}.parquet"),
+            row_group_size=32768,
+        )
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return meta

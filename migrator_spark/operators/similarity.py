@@ -1,0 +1,307 @@
+"""Near-duplicate detection and similarity search for training-data
+pipelines — the scale-path operators a 100 TB corpus needs beyond the
+reference's exact sha256 dedup (datasources/base.go:454-465).
+
+All heavy math runs in Arrow-vectorized pandas UDFs (numpy batch
+kernels); all candidate generation is DataFrame joins on LSH buckets so
+the O(n²) pair space is never materialized — only same-bucket pairs
+shuffle, which is the property that keeps these runnable at corpus
+scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Deterministic 64-bit mixing constants (splitmix64).
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the k-character shingles of ``text``."""
+    if text is None or len(text) < k:
+        return np.empty(0, dtype=np.uint64)
+    b = text.encode("utf-8", "ignore")
+    n = max(len(b) - k + 1, 1)
+    # vectorized rolling bytes view → blake2b per shingle is too slow;
+    # use numpy byte-window view hashed by splitmix over a polynomial
+    # accumulation (deterministic, well-mixed for LSH purposes).
+    arr = np.frombuffer(b, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, min(k, len(arr)))[:n].astype(np.uint64)
+    weights = np.power(1099511628211, np.arange(win.shape[1], dtype=np.uint64), dtype=np.uint64)
+    acc = (win * weights).sum(axis=1, dtype=np.uint64)
+    return _splitmix64(acc)
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle_size: int = 5, seed: int = 42):
+    """MinHash signature UDF: array<bigint> of length ``num_hashes``.
+
+    Permutations are the standard (a*x + b) family over 64-bit hashes,
+    seeded deterministically. Vectorized: per document one
+    (shingles × num_hashes) numpy min-reduce.
+    """
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) | 1)
+    b = rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = []
+            for text in s:
+                h = _shingle_hashes(text, shingle_size)
+                if h.size == 0:
+                    out.append(None)
+                    continue
+                # (num_hashes, n_shingles) permuted, min over shingles
+                perm = (np.outer(a, h) + b[:, None]) & _MASK64
+                sig = perm.min(axis=1).astype(np.int64)  # reinterpret as signed
+                out.append(sig.tolist())
+            yield pd.Series(out, dtype=object)
+
+    return minhash
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    shingle → minhash → band → bucket-join: each signature is split
+    into ``bands`` bands of ``num_hashes/bands`` rows; documents
+    sharing ANY band bucket become a candidate pair. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction
+    of matching minhashes (unbiased Jaccard estimate), deduplicated
+    across bands.
+    """
+    rows_per_band = num_hashes // bands
+    mh = make_minhash_udf(num_hashes, shingle_size, seed)
+    sig = df.select(F.col(id_col).alias("_id"), mh(F.col(text_col)).alias("_sig")).filter(
+        F.col("_sig").isNotNull()
+    )
+    sig.persist()
+    # band hash = hash of the band's slice (posexplode keeps band idx)
+    band_arrays = F.array(
+        *[
+            F.xxhash64(F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band))
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.posexplode(band_arrays).alias("_band", "_bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bh") == F.col("r._bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
+    est = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over word tokens: sign of the per-bit weighted
+    sum of token hashes. Near-duplicates have small Hamming distance."""
+    for s in batches:
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, text in enumerate(s.fillna("")):
+            if not text:
+                out[i] = 0
+                continue
+            toks = text.lower().split()
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.array(
+                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                 for t in set(toks)],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = np.int64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+        yield pd.Series(out)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: by the pigeonhole principle, two
+    hashes within ``max_hamming < blocks`` bits share at least one of
+    ``blocks`` 16-bit blocks — block equality is the LSH bucket join,
+    exact Hamming distance filters candidates."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    width = 64 // blocks
+    block_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_sh"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(blocks)
+        ]
+    )
+    blocked = sh.select("_id", "_sh", F.posexplode(block_arr).alias("_blk", "_bv"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._bv") == F.col("r._bv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for (id_a, id_b) candidate pairs —
+    the verify stage after MinHash/SimHash blocking."""
+    tok = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    if n > 1:
+        shingles = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+        )
+    else:
+        shingles = tok
+    grams = df.select(F.col(id_col).alias("_id"), F.array_distinct(shingles).alias("_toks"))
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    gb = grams.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.nullif(union, F.lit(0)), 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, query_vec: list[float], id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10,
+) -> DataFrame:
+    """Exact baseline: dot/norm via zip_with+aggregate (JVM codegen,
+    no Python in the loop), orderBy+limit (Spark's TakeOrdered — no
+    full sort at scale)."""
+    q = F.lit(np.asarray(query_vec, dtype=float).tolist()).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    nq = float(np.linalg.norm(query_vec))
+    return (
+        df.select(F.col(id_col), F.round(dot / (nv * F.lit(nq)), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def make_hyperplane_lsh_udf(dim: int, num_bits: int = 16, seed: int = 42):
+    """Random-hyperplane LSH: sign bits of projections — cosine-similar
+    vectors collide with probability 1 - θ/π per bit."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_bits, dim)
+
+    @pandas_udf(T.IntegerType())
+    def lsh_bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            mat = np.array([np.asarray(v, dtype=float) for v in s])
+            if mat.ndim != 2 or mat.size == 0:
+                yield pd.Series(np.zeros(len(s), dtype=np.int32))
+                continue
+            bits = (mat @ planes.T) > 0
+            vals = (bits.astype(np.uint32) << np.arange(num_bits, dtype=np.uint32)).sum(axis=1)
+            yield pd.Series(vals.astype(np.int32))
+
+    return lsh_bucket, planes
+
+
+def cosine_topk_lsh(
+    df: DataFrame, query_vec: list[float], id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10, num_bits: int = 12,
+    probes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed ANN: scan only vectors whose hyperplane bucket is
+    within the ``probes`` nearest buckets of the query's (by Hamming
+    distance). At corpus scale the bucket column is precomputed and the
+    table bucketed/partitioned by it, so a query touches a small slice
+    of the data instead of the whole table."""
+    q = np.asarray(query_vec, dtype=float)
+    lsh_udf, planes = make_hyperplane_lsh_udf(len(q), num_bits, seed)
+    qbits = int(((q @ planes.T > 0).astype(np.uint32) << np.arange(num_bits, dtype=np.uint32)).sum())
+    # probe buckets: query bucket + all buckets at Hamming distance ≤1,
+    # truncated to `probes`
+    cand_buckets = [qbits] + [qbits ^ (1 << i) for i in range(num_bits)]
+    cand_buckets = cand_buckets[: max(probes, 1)]
+    bucketed = df.withColumn("_lsh", lsh_udf(F.col(vec_col)))
+    pruned = bucketed.filter(F.col("_lsh").isin(cand_buckets))
+    return cosine_topk_bruteforce(pruned, query_vec, id_col, vec_col, k)

@@ -7,12 +7,17 @@ memory.go:137-223). The sandbox has no Iceberg runtime jar, so this
 module implements the same table contract from scratch (SURVEY.md §7.4
 fallback), with the identical semantics the north rule demands:
 
-- **Keyed MERGE (copy-on-write).** Rows are hash-bucketed by key
-  (``pmod(murmur3(repo, path), B)``); a merge rewrites ONLY buckets
-  touched by the batch and carries every other bucket's files forward
-  untouched. At 10^10 events with B=65536 buckets this bounds each
-  commit's write amplification to (touched keys / B) of the table —
-  the same cost model as Iceberg partition-level copy-on-write.
+- **Keyed MERGE (merge-on-read + amortized compaction).** Rows are
+  hash-bucketed by key (``pmod(murmur3(repo, path), B)``); a merge
+  APPENDS the batch's per-key LWW winners (deletes as tombstones) as
+  new per-bucket delta files — each commit writes O(batch winners)
+  bytes regardless of table size. Readers resolve LWW (argmax of
+  ``_last_offset`` per key) across a bucket's base+delta files; once a
+  bucket's delta chain exceeds ``compact_threshold`` it is rewritten
+  into one resolved file. This is the Iceberg merge-on-read /
+  LSM cost model: copy-on-write per micro-batch would rewrite every
+  affected bucket each commit — ruinous at 10^10 events where a
+  uniform batch touches all buckets.
 - **Atomic snapshot commits.** Each merge writes an immutable manifest
   ``snapshots/v{N}.json`` and atomically flips the ``HEAD`` pointer
   (``os.replace`` — on HDFS this is an atomic rename; on S3 it would be
@@ -56,6 +61,9 @@ from migrator_spark.schema import reconcile_schemas
 LAST_OFFSET_COL = "_last_offset"
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
+# events-per-winner counter persisted in delta files; feeds the
+# per-partition lineage scan without a second pass over the batch
+N_EVENTS_COL = "_n_events"
 META_COLS = ("offset", "op", "ts")
 
 
@@ -169,11 +177,30 @@ class LakeTable:
         # evolution lack the new columns; the parquet reader fills NULL.
         return self.spark.read.schema(self.schema).parquet(*files)
 
+    def _resolve_lww(self, raw: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: one row per key — the one with the
+        highest ``_last_offset`` across base + delta files. Same
+        slim-argmax + join-back strategy as the write side (see merge):
+        the aggregation state stays bytes-per-key instead of carrying
+        content payloads. A replayed event identical to a stored row
+        can yield the same (key, offset) twice across files — the rows
+        are byte-identical (deterministic transform), so
+        dropDuplicates picks deterministically-equal output."""
+        wmax = raw.groupBy(*self.key_cols).agg(
+            F.max(LAST_OFFSET_COL).alias(LAST_OFFSET_COL)
+        )
+        return raw.join(
+            wmax, on=self.key_cols + [LAST_OFFSET_COL], how="inner"
+        ).dropDuplicates(self.key_cols)
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current visible table state (tombstones filtered out)."""
-        return self.read_raw(buckets).filter(
-            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        ).drop(DELETED_COL)
+        """Current visible table state (LWW-resolved, tombstones
+        filtered out)."""
+        return (
+            self._resolve_lww(self.read_raw(buckets))
+            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .drop(DELETED_COL)
+        )
 
     def count(self) -> int:
         return self.read().count()
@@ -187,6 +214,10 @@ class LakeTable:
         salt_buckets: int = 0,
         order_col: str = "offset",
         op_col: str = "op",
+        transform=None,
+        compact_threshold: int | None = 8,
+        per_bucket_lineage: bool = True,
+        broadcast_winner_limit: int = 2_000_000,
     ) -> dict:
         """Apply a batch of change envelopes: LWW per key, upsert
         non-deletes, remove deletes. Returns the lineage dict.
@@ -197,6 +228,12 @@ class LakeTable:
         full-row upserts (reference semantics: updates are upserts
         everywhere — memory.go:185-192, postgres.go:483-505; our
         envelopes carry full rows so LWW full replace is exact).
+
+        ``transform`` (DataFrame → DataFrame, row-wise deterministic,
+        e.g. :func:`default_cdc_transform`) is applied to the per-key
+        LWW WINNERS, not to every event: equivalent result to the
+        reference's transform-every-doc (pipelines/base.go:190-247) at
+        O(keys) instead of O(events) Python-UDF cost per batch.
         """
         manifest = self.manifest
         # Exactly-once: skip an already-committed (stream, batch).
@@ -212,9 +249,59 @@ class LakeTable:
         key_cols = self.key_cols
         b_total = self.num_buckets
 
+        # --- within-batch LWW with explicit hot-key salting --------------
+        # Two-pass argmax: (1) reduce (key → max offset, event count)
+        # over COLUMN-PRUNED input — parquet reads only the key+offset
+        # columns, and the partial-agg hash state is ~24 bytes/key, so
+        # map-side combine shrinks the shuffle to O(distinct keys) of
+        # tiny rows; (2) inner-join the batch back on (key, offset) to
+        # fetch the full winner rows — offsets are globally unique, so
+        # the join key is unique per row: NO skew even when one repo
+        # owns half the batch, and AQE broadcasts the (small) winner
+        # set. A single-pass max_by(struct(payload)) instead drags the
+        # ~KB content payload through the aggregation hashmaps — it
+        # measures memory-bound and stops scaling past a few cores.
+        ev = batch_df.drop(
+            *[c for c in META_COLS if c not in (order_col, op_col) and c in batch_df.columns]
+        )
+        batch_payload_names = [c for c in ev.columns if c not in (order_col, op_col)]
+        slim = ev.select(*key_cols, order_col)
+        # No salt needed here: the agg state is bytes/key and map-side
+        # partial combine collapses even a repo owning half the batch
+        # to one slim row per input partition before the shuffle.
+        # (Salting this agg would multiply its hash state by the salt
+        # count for nothing; the skew-prone stage is the layout
+        # shuffle below, which IS salted.)
+        wmax = slim.groupBy(*key_cols).agg(
+            F.max(order_col).alias(order_col), F.count(F.lit(1)).alias("_n")
+        )
+        # Offsets are globally unique, so the winner set is fully
+        # identified by its offsets: broadcast the slim (offset,
+        # events-count) pairs (16 B/row) and inner-join on offset — a
+        # map-side broadcast hash join. The fat content-carrying side
+        # is scanned ONCE and never shuffled (a key-join instead
+        # shuffles + sorts the whole batch payload: measured as the
+        # dominant cost). Size batches (maxFilesPerTrigger /
+        # maxOffsetsPerTrigger) so distinct keys per batch stay within
+        # ``broadcast_winner_limit``; past it we fall back to the
+        # skew-free shuffle join on (key, offset).
+        woff = wmax.select(F.col(order_col), F.col("_n"))
+        if broadcast_winner_limit:
+            winners = ev.join(F.broadcast(woff), on=order_col, how="inner")
+        else:
+            winners = ev.join(wmax, on=key_cols + [order_col], how="inner")
+        winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols, b_total))
+        # Row transform on winners only (see docstring).
+        if transform is not None:
+            winners = transform(winners)
+
         # --- schema reconciliation (additive evolution) -----------------
         payload = T.StructType(
-            [f for f in batch_df.schema.fields if f.name not in META_COLS]
+            [
+                f
+                for f in winners.schema.fields
+                if f.name not in (order_col, op_col, "_n", BUCKET_COL)
+            ]
         )
         table_payload = T.StructType(
             [f for f in self.schema.fields if f.name not in (LAST_OFFSET_COL, DELETED_COL)]
@@ -228,152 +315,190 @@ class LakeTable:
             ]
         )
         payload_names = [f.name for f in unified_payload.fields]
-
-        # --- within-batch LWW with explicit hot-key salting --------------
-        # Aggregation (max_by), not a window: map-side partial combine
-        # reduces each input partition to its local winners BEFORE the
-        # shuffle, so shuffle volume is O(distinct keys), not O(events).
-        ev = batch_df
         for f in unified_payload.fields:  # align evolution columns
-            if f.name not in ev.columns:
-                ev = ev.withColumn(f.name, F.lit(None).cast(f.dataType))
-        row = F.struct(*[F.col(c) for c in payload_names + [order_col, op_col]]).alias("_row")
-        if salt_buckets and salt_buckets > 1:
-            p1 = (
-                ev.withColumn("_salt", F.pmod(F.col(order_col), F.lit(salt_buckets)))
-                .groupBy(*key_cols, "_salt")
-                .agg(
-                    F.max_by(row, F.col(order_col)).alias("_row"),
-                    F.count(F.lit(1)).alias("_n"),
-                    F.max(order_col).alias("_o"),
-                )
-            )
-            winners = p1.groupBy(*key_cols).agg(
-                F.max_by(F.col("_row"), F.col("_o")).alias("_row"),
-                F.sum("_n").alias("_n"),
-                F.max("_o").alias("_o"),
-            )
-        else:
-            winners = ev.groupBy(*key_cols).agg(
-                F.max_by(row, F.col(order_col)).alias("_row"),
-                F.count(F.lit(1)).alias("_n"),
-                F.max(order_col).alias("_o"),
-            )
-        winners = winners.select(
-            "_row.*", F.col("_n"), bucket_expr(key_cols, b_total).alias(BUCKET_COL)
+            if f.name not in winners.columns:
+                winners = winners.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+        # --- merge-on-read delta append -----------------------------------
+        # Winners (tombstones included) are APPENDED as new per-bucket
+        # delta files — the commit writes O(winners) bytes regardless
+        # of table size, unlike copy-on-write which rewrites every
+        # affected bucket per micro-batch (ruinous at 10^10 events
+        # where a uniform batch touches all buckets). read() resolves
+        # LWW across base+delta files; compaction (below) amortizes the
+        # read cost once a bucket's delta chain passes
+        # ``compact_threshold``.
+        #
+        # The write is the merge's ONLY wide Spark action: global
+        # lineage totals ride along as observe() metrics, and ``_n``
+        # (events folded into each winner) is persisted IN the delta
+        # files so the per-partition counters come from a narrow
+        # 3-column scan of the just-written files instead of a second
+        # pass over the batch.
+        delta = winners.select(
+            *payload_names,
+            F.col(order_col).alias(LAST_OFFSET_COL),
+            (F.col(op_col) == "delete").alias(DELETED_COL),
+            F.col("_n").alias(N_EVENTS_COL),
+            F.col(BUCKET_COL),
         )
-        winners.persist()
-        try:
-            # One small aggregation drives BOTH bucket pruning and the
-            # per-partition lineage counters (≤ num_buckets rows).
-            stats = (
-                winners.groupBy(BUCKET_COL)
-                .agg(
-                    F.sum("_n").alias("events"),
-                    F.count(F.lit(1)).alias("winners"),
-                    F.sum(F.when(F.col(op_col) == "delete", 1).otherwise(0)).alias("deletes"),
-                    F.max(order_col).alias("max_offset"),
-                )
-                .collect()
-            )
-            if not stats:  # empty batch: still record the commit
-                return self._commit(
-                    manifest["buckets"], new_table_schema, stream_id, batch_id,
-                    {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
-                    {}, manifest["last_offset"],
-                )
+        from pyspark.sql import Observation
 
-            affected = sorted(r[BUCKET_COL] for r in stats)
-            per_bucket = {
-                int(r[BUCKET_COL]): {
-                    "events": int(r["events"]),
-                    "applied": int(r["winners"] - r["deletes"]),
-                    "deduped": int(r["events"] - r["winners"]),
-                    "deleted": int(r["deletes"]),
-                }
-                for r in stats
-            }
-            totals = {
-                "events": sum(v["events"] for v in per_bucket.values()),
-                "applied": sum(v["applied"] for v in per_bucket.values()),
-                "deduped": sum(v["deduped"] for v in per_bucket.values()),
-                "deleted": sum(v["deleted"] for v in per_bucket.values()),
-            }
-            max_offset = max(
-                int(r["max_offset"]) for r in stats
-            )
-
-            # --- copy-on-write of affected buckets only -------------------
-            current = self.read_raw(buckets=affected)
-            for f in unified_payload.fields:  # pad evolution columns
-                if f.name not in current.columns:
-                    current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
-            current = current.select(
-                *payload_names,
-                F.col(LAST_OFFSET_COL).alias(order_col),
-                # stored tombstones re-enter the LWW as deletes so their
-                # offset keeps guarding against replayed older upserts
-                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "delete")
-                .otherwise("current")
-                .alias(op_col),
-            )
-            batch_side = winners.select(*payload_names, order_col, op_col)
-            union = batch_side.unionByName(current)
-            # LWW across current-vs-batch: the monotonic offset guard —
-            # a replayed old event loses to the stored row (or stored
-            # tombstone; deletes persist as tombstones, GC'd later).
-            urow = F.struct(*[F.col(c) for c in union.columns]).alias("_row")
-            final = (
-                union.groupBy(*key_cols)
-                .agg(F.max_by(urow, F.col(order_col)).alias("_row"))
-                .select("_row.*")
-                .select(
-                    *payload_names,
-                    F.col(order_col).alias(LAST_OFFSET_COL),
-                    (F.col(op_col) == "delete").alias(DELETED_COL),
-                )
-                .withColumn(BUCKET_COL, bucket_expr(key_cols, b_total))
-            )
-
-            staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-            (
-                final.repartition(max(1, min(len(affected), 200)), F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
-                .mode("overwrite")
-                .parquet(staging)
-            )
-
-            # Promote staged files into data/ under the next version.
-            next_version = manifest["version"] + 1
-            new_buckets = dict(manifest["buckets"])
-            for b in affected:
-                new_buckets[str(b)] = []
-            for bdir in glob.glob(os.path.join(staging, f"{BUCKET_COL}=*")):
-                b = int(os.path.basename(bdir).split("=")[1])
-                dest_dir = os.path.join(self.path, "data", f"b{b:05d}")
-                os.makedirs(dest_dir, exist_ok=True)
-                rels = []
-                for i, fpath in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
-                    rel = f"data/b{b:05d}/part-v{next_version:08d}-{i:04d}.parquet"
-                    os.replace(fpath, os.path.join(self.path, rel))
-                    rels.append(rel)
-                new_buckets[str(b)] = rels
-            # An affected bucket whose final state is empty keeps [].
-            new_buckets = {b: fl for b, fl in new_buckets.items() if fl}
-            shutil.rmtree(staging, ignore_errors=True)
-
+        obs = Observation()
+        obs_exprs = [
+            F.count(F.lit(1)).alias("winners"),
+            F.sum(N_EVENTS_COL).alias("events"),
+            F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
+            F.max(LAST_OFFSET_COL).alias("max_offset"),
+        ]
+        # (Per-partition counters as inline conditional observe sums
+        # were measured SLOWER than the narrow post-scan below: 3
+        # expressions per bucket evaluate on every row of the write.)
+        delta = delta.observe(obs, *obs_exprs)
+        next_version = manifest["version"] + 1
+        staged = self._stage_and_promote(
+            delta, next_version, self.spark.sparkContext.defaultParallelism,
+            salt_buckets=salt_buckets,
+        )
+        m = obs.get
+        if not staged or not m.get("winners"):  # empty batch: record the commit
             return self._commit(
-                new_buckets,
-                new_table_schema,
-                stream_id,
-                batch_id,
-                totals,
-                per_bucket,
-                max(manifest["last_offset"], max_offset),
-                added=[f.name for f in added],
+                manifest["buckets"], new_table_schema, stream_id, batch_id,
+                {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+                {}, manifest["last_offset"],
             )
-        finally:
-            winners.unpersist()
+        totals = {
+            "events": int(m["events"]),
+            "applied": int(m["winners"] - m["deletes"]),
+            "deduped": int(m["events"] - m["winners"]),
+            "deleted": int(m["deletes"]),
+        }
+        new_buckets = dict(manifest["buckets"])
+        for b, rels in staged.items():
+            new_buckets[str(b)] = new_buckets.get(str(b), []) + rels
+        per_bucket = self._delta_bucket_stats(staged) if per_bucket_lineage else {}
+
+        result = self._commit(
+            new_buckets,
+            new_table_schema,
+            stream_id,
+            batch_id,
+            totals,
+            per_bucket,
+            max(manifest["last_offset"], int(m["max_offset"])),
+            added=[f.name for f in added],
+        )
+        # Amortized compaction: rewrite buckets whose delta chain got
+        # long (Iceberg/Delta minor-compaction analogue).
+        if compact_threshold:
+            over = [
+                int(b)
+                for b, fl in self.manifest["buckets"].items()
+                if len(fl) > compact_threshold
+            ]
+            if over:
+                result["compacted"] = self.compact(buckets=over)
+        return result
+
+    def _delta_bucket_stats(self, staged: dict) -> dict:
+        """Per-partition (bucket) lineage from the freshly written
+        delta files: a narrow scan of 2 counter columns (parquet
+        column pruning — content is never touched)."""
+        files = [os.path.join(self.path, r) for rels in staged.values() for r in rels]
+        stat_schema = T.StructType(
+            [
+                T.StructField(N_EVENTS_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+        rows = (
+            self.spark.read.schema(stat_schema)
+            .parquet(*files)
+            .withColumn(
+                "_b",
+                F.regexp_extract(F.input_file_name(), r"/b(\d{5})/", 1).cast("int"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.sum(N_EVENTS_COL).alias("events"),
+                F.count(F.lit(1)).alias("winners"),
+                F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
+            )
+            .collect()
+        )
+        return {
+            int(r["_b"]): {
+                "events": int(r["events"]),
+                "applied": int(r["winners"] - r["deletes"]),
+                "deduped": int(r["events"] - r["winners"]),
+                "deleted": int(r["deletes"]),
+            }
+            for r in rows
+        }
+
+    def _stage_and_promote(
+        self, df, next_version: int, n_partitions: int, salt_buckets: int = 0
+    ) -> dict:
+        """Write ``df`` (which carries BUCKET_COL) bucket-partitioned
+        into a staging dir, promote files under data/, return
+        {bucket: [relative paths]}.
+
+        ``salt_buckets`` salts the layout shuffle — THE skew-prone
+        stage (north rule: explicit hot-key salting): a hot repo
+        funnels its winners into one bucket, and an unsalted
+        repartition makes that bucket one straggler task. Salting
+        spreads a hot bucket across ``salt_buckets`` writer tasks;
+        merge-on-read tolerates the extra files per bucket."""
+        parts = [F.col(BUCKET_COL)]
+        if salt_buckets and salt_buckets > 1:
+            parts.append(F.pmod(F.col(LAST_OFFSET_COL), F.lit(salt_buckets)))
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        (
+            df.repartition(max(1, min(n_partitions, 200)), *parts)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        out: dict[int, list[str]] = {}
+        for bdir in glob.glob(os.path.join(staging, f"{BUCKET_COL}=*")):
+            b = int(os.path.basename(bdir).split("=")[1])
+            dest_dir = os.path.join(self.path, "data", f"b{b:05d}")
+            os.makedirs(dest_dir, exist_ok=True)
+            rels = []
+            for i, fpath in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
+                rel = f"data/b{b:05d}/part-v{next_version:08d}-{i:04d}.parquet"
+                os.replace(fpath, os.path.join(self.path, rel))
+                rels.append(rel)
+            out[b] = rels
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Rewrite the given buckets (default: all multi-file buckets)
+        into one LWW-resolved file each. Tombstones are preserved (they
+        keep guarding against replayed older upserts); use
+        :meth:`compact_tombstones` to GC them once replay can no longer
+        reach behind a watermark."""
+        if buckets is None:
+            buckets = [int(b) for b, fl in self.manifest["buckets"].items() if len(fl) > 1]
+        if not buckets:
+            return {"compacted_buckets": 0, "version": self.version}
+        resolved = self._resolve_lww(self.read_raw(buckets=buckets)).withColumn(
+            BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+        )
+        next_version = self.manifest["version"] + 1
+        staged = self._stage_and_promote(resolved, next_version, len(buckets))
+        new_buckets = dict(self.manifest["buckets"])
+        for b in buckets:
+            new_buckets.pop(str(b), None)
+        for b, rels in staged.items():
+            new_buckets[str(b)] = rels
+        self._commit(
+            new_buckets, self.schema, None, None,
+            {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
+            self.manifest["last_offset"],
+        )
+        return {"compacted_buckets": len(buckets), "version": self.version}
 
     def _commit(
         self,
@@ -456,8 +581,12 @@ class LakeTable:
         every bucket that holds an expirable tombstone; commits one new
         snapshot."""
         raw = self.read_raw()
+        expirable = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.col(LAST_OFFSET_COL) < min_offset
+        )
         has = (
-            raw.filter(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LAST_OFFSET_COL) < min_offset))
+            self._resolve_lww(raw)
+            .filter(expirable)
             .select(bucket_expr(self.key_cols, self.num_buckets).alias(BUCKET_COL))
             .distinct()
             .collect()
@@ -465,32 +594,18 @@ class LakeTable:
         affected = sorted(r[BUCKET_COL] for r in has)
         if not affected:
             return {"compacted_buckets": 0, "version": self.version}
-        keep_rows = self.read_raw(buckets=affected).filter(
-            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LAST_OFFSET_COL) < min_offset))
-        ).withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
-        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        (
-            keep_rows.repartition(max(1, min(len(affected), 200)), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(staging)
+        keep_rows = (
+            self._resolve_lww(self.read_raw(buckets=affected))
+            .filter(~expirable)
+            .withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
         )
         next_version = self.manifest["version"] + 1
+        staged = self._stage_and_promote(keep_rows, next_version, len(affected))
         new_buckets = dict(self.manifest["buckets"])
         for b in affected:
-            new_buckets[str(b)] = []
-        for bdir in glob.glob(os.path.join(staging, f"{BUCKET_COL}=*")):
-            b = int(os.path.basename(bdir).split("=")[1])
-            dest_dir = os.path.join(self.path, "data", f"b{b:05d}")
-            os.makedirs(dest_dir, exist_ok=True)
-            rels = []
-            for i, fpath in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
-                rel = f"data/b{b:05d}/part-v{next_version:08d}-{i:04d}.parquet"
-                os.replace(fpath, os.path.join(self.path, rel))
-                rels.append(rel)
+            new_buckets.pop(str(b), None)
+        for b, rels in staged.items():
             new_buckets[str(b)] = rels
-        new_buckets = {b: fl for b, fl in new_buckets.items() if fl}
-        shutil.rmtree(staging, ignore_errors=True)
         self._commit(
             new_buckets, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},

@@ -554,6 +554,74 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check, no oracle):
+# MinHash/SimHash LSH near-dup, LSH-bucketed ANN, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-duplicate candidates over documents
+    (shingle→minhash→band→bucket-join; similarity.py)."""
+    from migrator_spark.operators.similarity import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_candidates(d, id_col="doc_id", text_col="text",
+                               num_hashes=64, bands=16)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (64-bit, 4-block pigeonhole LSH)."""
+    from migrator_spark.operators.similarity import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verification of the MinHash candidates —
+    the block-then-verify near-dup pipeline end-to-end."""
+    from migrator_spark.operators.similarity import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=64, bands=16).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(d, cand, n=3)
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours of vec 0 (the
+    scale path; q_embedding_topk is the exact oracle-checked baseline)."""
+    from migrator_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # bucket granularity sized to corpus: 2^6 buckets for ~500 vectors
+    # (at 10^9 vectors you'd raise num_bits so buckets stay ~thousands)
+    return cosine_topk_lsh(
+        e.filter(F.col("vec_id") != 0), qv, k=10, num_bits=6, probes=7
+    )
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow mapInPandas decode/feature stage
+    (deterministic fake codec; real Spark plumbing)."""
+    from migrator_spark.functions.multimodal import decode_image_features, make_media_table
+
+    media = make_media_table(spark, n=64, width=16, height=16)
+    return decode_image_features(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # the flagship: full engine replay (LakeTable MERGE path) vs SQL oracle
 # ---------------------------------------------------------------------------
 
@@ -629,6 +697,12 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
+    # rows-only (non-SQL-expressible; no oracle entry)
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "simhash_dups": q_simhash_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_image_features": q_multimodal_image_features,
 }
 
 ORACLES = {

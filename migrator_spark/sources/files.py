@@ -1,0 +1,108 @@
+"""File import/export — the reference's ``Import``/``Export`` dispatch
+(/root/reference/datasources/base.go:154-175, :307-328, per-ds e.g.
+memory.go:262-289) re-expressed as declarative Spark IO.
+
+Semantics parity kept:
+- CSV is untyped: every value read AND written as string
+  (helpers/csv.go:53-57, :98-103) unless an explicit schema is given;
+- CSV export headers = sorted union of columns (base.go:249-278);
+- Parquet export schema comes from the DataFrame (reference infers
+  from the first batch, base.go:405-417 — Spark's schema is authoritative
+  and strictly better);
+- import = batched inserts into the table → here one ``merge`` of
+  insert envelopes (idempotent, unlike the reference's blind append).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from migrator_spark.plans.laketable import LakeTable
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """CSV source. Without a schema, all columns are strings — the
+    reference's exact semantics (no inferSchema surprises)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.csv(path)  # header names, all StringType
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink: sorted column order (reference header inference sorts
+    the key union), everything stringified by Spark's CSV writer."""
+    out = df.select(*sorted(df.columns))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JSON-lines source (the reference round-trips JSON everywhere —
+    helpers/utils.go:134-161; as a file format that's JSONL)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+FORMATS = {
+    "csv": (read_csv, write_csv),
+    "parquet": (read_parquet, write_parquet),
+    "jsonl": (read_jsonl, write_jsonl),
+}
+
+
+def import_into_table(
+    spark: SparkSession,
+    table_path: str,
+    src_path: str,
+    fmt: str = "csv",
+    key_cols: list[str] | None = None,
+    id_start_offset: int = 0,
+    schema: T.StructType | None = None,
+) -> dict:
+    """Reference ``Import``: load a file and upsert every row as an
+    insert envelope. Offsets are synthesized monotonically from row
+    order (deterministic: ordered by key columns)."""
+    read, _ = FORMATS[fmt]
+    df = read(spark, src_path, schema)
+    table = LakeTable.load(spark, table_path)
+    keys = key_cols or table.key_cols
+    w = F.row_number().over(Window.orderBy(*keys))
+    env = df.withColumn("offset", (w + F.lit(id_start_offset - 1)).cast("long")).withColumn(
+        "op", F.lit("insert")
+    )
+    return table.merge(env, stream_id=f"import-{os.path.basename(src_path)}", batch_id=0)
+
+
+def export_table(
+    spark: SparkSession, table_path: str, dest_path: str, fmt: str = "csv"
+) -> int:
+    """Reference ``Export``: paged Fetch loop → file. Spark-first the
+    'paging' is just the parallel write."""
+    _, write = FORMATS[fmt]
+    df = LakeTable.load(spark, table_path).read()
+    write(df, dest_path)
+    return df.count()

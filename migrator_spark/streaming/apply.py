@@ -46,9 +46,9 @@ def make_apply_batch(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
         table = LakeTable.load(batch_df.sparkSession, table_path)
-        df = transform(batch_df) if transform is not None else batch_df
         lineage = table.merge(
-            df, stream_id=stream_id, batch_id=batch_id, salt_buckets=salt_buckets
+            batch_df, stream_id=stream_id, batch_id=batch_id,
+            salt_buckets=salt_buckets, transform=transform,
         )
         elapsed = time.monotonic() - t0
         record = {

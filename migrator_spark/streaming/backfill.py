@@ -80,15 +80,15 @@ def _run_backfill_locked(
         while lo <= hi:
             chunk = window.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
             table = LakeTable.load(spark, table_path)
-            df = transform(chunk) if transform is not None else chunk
             # batch_id = chunk start offset: monotonic ACROSS resumed
             # runs (a fresh 0,1,2,… sequence would collide with the
             # previous run's committed ids and be skipped as replays).
             lineage = table.merge(
-                df,
+                chunk,
                 stream_id=f"backfill-{pipeline_id}",
                 batch_id=lo,
                 salt_buckets=salt_buckets,
+                transform=transform,
             )
             lo += step
             st = state.get(pipeline_id)

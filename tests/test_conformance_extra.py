@@ -1,0 +1,86 @@
+"""Remaining datasource-conformance analogues (reference suite,
+datasources/base_test.go): empty push, Clear, snapshot isolation for
+concurrent readers, state-store round-trip (states/base_test.go:50-274)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+from migrator_spark.state import StateStore
+
+PAYLOAD_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def test_empty_push_commits_and_counts_zero(spark, tmp_table_dir):
+    """Push with empty request: reference returns zero counts and no
+    error (base_test.go:1216-1228); we additionally record the commit
+    for exactly-once bookkeeping."""
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    res = table.merge(_env(spark, []), stream_id="s", batch_id=0)
+    assert res["totals"] == {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
+    assert table.count() == 0
+    # the empty batch is still committed: re-delivery is skipped
+    res2 = table.refresh().merge(_env(spark, []), stream_id="s", batch_id=0)
+    assert res2["skipped"] is True
+
+
+def test_clear_keeps_schema_and_history(spark, tmp_table_dir):
+    """Reference Clear (memory.go:239-249): all rows dropped, table
+    still usable."""
+    table = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    table.merge(default_cdc_transform(_env(spark, [(0, "insert", None, "r", "a", "c", "py", "x\n")])))
+    assert table.count() == 1
+    table.clear()
+    assert table.count() == 0
+    # still writable after clear
+    table.merge(default_cdc_transform(_env(spark, [(5, "insert", None, "r", "b", "c", "py", "y\n")])))
+    assert table.count() == 1
+
+
+def test_snapshot_isolation_for_readers(spark, tmp_table_dir):
+    """A reader holding an older LakeTable handle keeps seeing its
+    snapshot while a writer commits — readers are lock-free and never
+    see partial merges."""
+    writer = LakeTable.create(spark, tmp_table_dir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    writer.merge(default_cdc_transform(_env(spark, [(0, "insert", None, "r", "a", "c0", "py", "x\n")])))
+    reader = LakeTable.load(spark, tmp_table_dir)  # pins version
+    writer = LakeTable.load(spark, tmp_table_dir)
+    writer.merge(default_cdc_transform(_env(spark, [(1, "update", None, "r", "a", "c1", "py", "y\n")])))
+    # old handle: still the old state; fresh load: new state
+    assert reader.read().first()["commit"] == "c0"
+    assert LakeTable.load(spark, tmp_table_dir).read().first()["commit"] == "c1"
+
+
+def test_state_store_roundtrip(tmp_path):
+    """states/base_test.go: missing key default, store/load equality,
+    delete, update timestamps."""
+    st = StateStore(str(tmp_path))
+    d = st.get("p1")
+    assert d["migration_status"] == "idle" and d["lineage"]["events"] == 0
+    st.update("p1", migration_status="in_progress", migration_offset=42)
+    got = st.get("p1")
+    assert got["migration_status"] == "in_progress"
+    assert got["migration_offset"] == 42
+    assert "updated_at" in got
+    st.delete("p1")
+    assert st.get("p1")["migration_status"] == "idle"
+
+
+def test_create_validations(spark, tmp_path):
+    with pytest.raises(ValueError, match="key column"):
+        LakeTable.create(spark, str(tmp_path / "t1"), PAYLOAD_SCHEMA, ["nope"], num_buckets=4)
+    LakeTable.create(spark, str(tmp_path / "t2"), PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, str(tmp_path / "t2"), PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    # if_not_exists loads instead
+    t = LakeTable.create(spark, str(tmp_path / "t2"), PAYLOAD_SCHEMA, KEY_COLS,
+                         num_buckets=4, if_not_exists=True)
+    assert t.version >= 1

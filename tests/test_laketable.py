@@ -152,5 +152,8 @@ def test_time_travel_and_expire(spark, tmp_table_dir):
     assert table.count() == 0
     old = LakeTable.load_version(spark, tmp_table_dir, v_after_insert)
     assert old.count() == 1
+    # compaction collapses the delta chain; expire then GCs old files
+    table.compact()
     removed = table.expire_snapshots(keep=1)
     assert removed >= 1
+    assert table.refresh().count() == 0

@@ -1,0 +1,107 @@
+"""Multimodal plumbing (fake decode, real Spark mechanics) and file
+import/export round-trips (reference Test_Import_CSV/Parquet and
+Test_Export_CSV/Parquet, datasources/base_test.go:947-1310)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.functions.multimodal import (
+    decode_image_features,
+    fake_image_bytes,
+    make_media_table,
+    resize_images,
+    sample_video_frames,
+)
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.sources.files import (
+    export_table,
+    import_into_table,
+    read_csv,
+    write_csv,
+)
+
+
+def test_image_decode_features(spark):
+    media = make_media_table(spark, n=16, width=8, height=6)
+    feats = {r["doc_id"]: r for r in decode_image_features(media).collect()}
+    assert len(feats) == 16
+    assert feats[3]["width"] == 8 and feats[3]["height"] == 6
+    expected = hashlib.sha256(fake_image_bytes(3, 8, 6)).hexdigest()
+    assert feats[3]["bytes_sha256"] == expected
+    assert 0 <= feats[3]["mean_luma"] <= 255
+
+
+def test_image_resize_and_video_sampling(spark):
+    media = make_media_table(spark, n=4, width=16, height=16)
+    resized = resize_images(media, target=4).collect()
+    for r in resized:
+        assert int.from_bytes(r["data"][:4], "big") == 4
+    # treat byte[0:4] as frame count for the fake video
+    frames = sample_video_frames(media, every_n=2).collect()
+    assert len(frames) > 0
+    assert all(f["frame_sha256"] is not None for f in frames)
+
+
+def test_real_decode_is_marked_not_implemented(spark):
+    media = make_media_table(spark, n=2, width=4, height=4)
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        decode_image_features(media, fake=False).collect()
+
+
+def test_csv_import_export_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "in.csv")
+    spark.createDataFrame(
+        [("r1", "a", "c0", "py", "x\n"), ("r1", "b", "c1", "go", "y\n")],
+        "repo string, path string, commit string, lang string, content string",
+    ).coalesce(1).write.option("header", "true").csv(src)
+
+    tdir = str(tmp_path / "table")
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=4)
+    res = import_into_table(spark, tdir, src, fmt="csv")
+    assert res["totals"]["applied"] == 2
+    table = LakeTable.load(spark, tdir)
+    assert table.count() == 2
+    # re-import is idempotent at the key level (upsert, not append)
+    import_into_table(spark, tdir, src, fmt="csv")
+    assert table.refresh().count() == 2
+
+    out = str(tmp_path / "out.csv")
+    n = export_table(spark, tdir, out, fmt="csv")
+    assert n == 2
+    back = read_csv(spark, out)
+    assert back.count() == 2
+    assert back.schema["commit"].dataType == T.StringType()  # CSV is untyped
+
+
+def test_parquet_export_roundtrip(spark, tmp_path):
+    tdir = str(tmp_path / "table")
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=4)
+    env = spark.createDataFrame(
+        [(0, "insert", "r", "a", "x"), (1, "insert", "r", "b", "y")],
+        "offset long, op string, repo string, path string, content string",
+    )
+    LakeTable.load(spark, tdir).merge(env)
+    out = str(tmp_path / "out.parquet")
+    assert export_table(spark, tdir, out, fmt="parquet") == 2
+    back = spark.read.parquet(out)
+    assert back.schema["_last_offset"].dataType == T.LongType()  # typed round-trip
+    assert {r["path"] for r in back.collect()} == {"a", "b"}

@@ -1,0 +1,101 @@
+"""Near-dup detection + ANN operators: correctness of the LSH
+blocking (recall on planted near-dups, no false exact-dup misses) and
+agreement of the ANN variants with the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = (
+    "def compute(x):\n    total = 0\n    for i in range(x):\n"
+    "        total += i * 31\n    return total\n"
+)
+
+
+def _distinct_doc(i: int) -> str:
+    # genuinely distinct content: every token carries the doc id
+    return "\n".join(
+        f"def fn_{i}_{j}(arg_{i}_{j}):\n    return arg_{i}_{j} * {i * 97 + j * 13}"
+        for j in range(8)
+    )
+
+
+DOC5 = _distinct_doc(5) + "\nunique five\n"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (5, DOC5)]
+    for i in range(6, 40):  # genuinely distinct docs
+        rows.append((i, _distinct_doc(i)))
+    # planted near-dups of doc 0: tiny edits
+    rows.append((100, BASE.replace("total = 0", "total = 1")))
+    rows.append((101, BASE + "# trailing comment\n"))
+    # exact dup of doc 5, and a one-token edit of it (simhash target:
+    # simhash distance tracks token-set change, needs longer docs)
+    rows.append((105, DOC5))
+    rows.append((106, DOC5.replace("unique five", "unique cinq")))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_candidates(docs, num_hashes=64, bands=16).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] > 0.5
+    assert (0, 101) in pairs and pairs[(0, 101)] > 0.5
+    assert (5, 105) in pairs and pairs[(5, 105)] == 1.0
+    # distinct docs should not flood the candidate set
+    assert len(pairs) < 60
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_near_dups(docs, max_hamming=6).collect()}
+    assert (5, 105) in got and got[(5, 105)] == 0
+    assert (5, 106) in got  # one-token edit → tiny hamming distance
+    assert (105, 106) in got
+    # unrelated docs don't collide at this radius
+    assert (6, 7) not in got
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = spark.createDataFrame(
+        [(0, 100), (0, 101), (5, 105), (6, 7)], "id_a long, id_b long"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, cand, n=3).collect()}
+    assert got[(5, 105)] == 1.0
+    assert got[(0, 100)] > 0.5
+    assert got[(6, 7)] < 0.2  # distinct docs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 16)
+    rows = [(int(i), base[i].astype(float).tolist()) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_lsh_matches_bruteforce_top1(spark, vectors):
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 16)
+    qv = (base[3] + rng.randn(16) * 0.01).tolist()  # near vector 3
+    brute = cosine_topk_bruteforce(vectors, qv, k=5).collect()
+    assert brute[0]["vec_id"] == 3
+    lsh = cosine_topk_lsh(vectors, qv, k=5, num_bits=8, probes=9).collect()
+    assert lsh, "LSH probe returned nothing"
+    assert lsh[0]["vec_id"] == 3  # top-1 recalled through the buckets
+    # LSH results are a subset of the space with correct scores
+    bs = {r["vec_id"]: r["cos_sim"] for r in brute}
+    for r in lsh:
+        if r["vec_id"] in bs:
+            assert abs(r["cos_sim"] - bs[r["vec_id"]]) < 1e-6
