@@ -70,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--work", required=True)
     c.add_argument("--pipeline-id", default="p1")
 
+    k = sub.add_parser("compact", help="rewrite multi-file buckets; optionally GC tombstones and old snapshots")
+    k.add_argument("--table", required=True)
+    k.add_argument("--tombstones-before", type=int, default=None,
+                   help="also GC tombstones older than this offset (tie to checkpoint retention)")
+    k.add_argument("--expire-keep", type=int, default=None,
+                   help="also expire all but the newest N snapshots (vacuum)")
+    k.add_argument("--cores", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.mode == "gen":
@@ -86,6 +94,20 @@ def main(argv: list[str] | None = None) -> int:
         from migrator_spark.state import StateStore
 
         print(json.dumps(StateStore(os.path.join(args.work, "state")).get(args.pipeline_id)))
+        return 0
+
+    if args.mode == "compact":
+        from migrator_spark.plans.laketable import LakeTable
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-compact", cores=args.cores)
+        table = LakeTable.load(spark, args.table)
+        out = {"compact": table.compact()}
+        if args.tombstones_before is not None:
+            out["tombstones"] = table.refresh().compact_tombstones(args.tombstones_before)
+        if args.expire_keep is not None:
+            out["expired_files"] = table.refresh().expire_snapshots(keep=args.expire_keep)
+        print(json.dumps(out))
         return 0
 
     if args.mode == "verify":

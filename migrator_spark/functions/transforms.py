@@ -25,11 +25,29 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _pin_arrow_threads() -> None:
+    """Pin pyarrow's process-wide compute pool inside UDF workers:
+    its default is ALL host cores, which oversubscribes the executor's
+    core allocation (each Spark task slot already runs one worker) and
+    silently steals cores the scheduler assigned elsewhere. Task-level
+    parallelism is Spark's job; kernels stay single-threaded."""
+    import os
+
+    n = int(os.environ.get("SPARK_GRAFT_ARROW_THREADS", "1"))
+    try:
+        if pa.cpu_count() != n:
+            pa.set_cpu_count(n)
+            pa.set_io_thread_count(max(n, 1))
+    except Exception:
+        pass
+
+
 def _arrow_normalize(s: pd.Series) -> pd.Series:
     """NFC unicode, CRLF→LF, strip trailing whitespace per line, single
     trailing newline for non-empty content — all on pyarrow compute
     kernels (C++/RE2), which measure ~5x faster than pandas ``.str``
     regex ops (Python ``re``) on kilobyte code files."""
+    _pin_arrow_threads()
     # NFC in pandas (ICU-correct and cheap — ~0.01s/60k rows); pyarrow
     # 16's utf8_normalize ignores the form option (NFC==NFD output).
     s = s.str.normalize("NFC")

