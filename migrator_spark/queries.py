@@ -349,6 +349,41 @@ FROM t
 """
 
 
+def q_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three timestamp layouts (ParseGormFieldValue,
+    datasources/base.go:659-668): RFC3339, RFC3339Nano, and postgres
+    '+00' — round-tripped through strings and parsed back."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_s"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("iso_nano_s"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'").alias("pg_s"),
+    )
+    return s.select(
+        "event_id",
+        F.to_timestamp("iso_s", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("parsed_iso"),
+        F.to_timestamp("iso_nano_s", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("parsed_iso_nano"),
+        F.to_timestamp("pg_s", "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'").alias("parsed_pg"),
+    )
+
+
+SQL_PARSE_TIMESTAMPS = r"""
+WITH s AS (
+  SELECT event_id,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_s,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_nano_s,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f+00') AS pg_s
+  FROM events
+)
+SELECT event_id,
+       strptime(iso_s, '%Y-%m-%dT%H:%M:%SZ') AS parsed_iso,
+       strptime(iso_nano_s, '%Y-%m-%dT%H:%M:%S.%fZ') AS parsed_iso_nano,
+       strptime(pg_s, '%Y-%m-%d %H:%M:%S.%f+00') AS parsed_pg
+FROM s
+"""
+
+
 def q_sha256_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha256 fingerprint of content (datasources/base.go:454-465;
     the per-row invariant of BASELINE.json input_hint)."""
@@ -717,6 +752,7 @@ QUERIES = {
     "id_set_fetch": q_id_set_fetch,
     "flatten_json": q_flatten_json,
     "type_coercion": q_type_coercion,
+    "parse_timestamps": q_parse_timestamps,
     "sha256_docs": q_sha256_docs,
     "normalize_sha_docs": q_normalize_sha_docs,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -749,6 +785,7 @@ ORACLES = {
     "id_set_fetch": SQL_ID_SET_FETCH,
     "flatten_json": SQL_FLATTEN_JSON,
     "type_coercion": SQL_TYPE_COERCION,
+    "parse_timestamps": SQL_PARSE_TIMESTAMPS,
     "sha256_docs": SQL_SHA256_DOCS,
     "normalize_sha_docs": SQL_NORMALIZE_SHA_DOCS,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,

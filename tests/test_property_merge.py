@@ -1,0 +1,83 @@
+"""Property-based check: ANY interleaving of insert/update/delete
+envelopes, split into ANY batch boundaries, replayed through the full
+LakeTable merge path equals the pure-Python offset-order fold.
+
+This generalizes the reference's table-driven Push/replication tests
+(datasources/base_test.go:1070-1228, pipelines/base_test.go:242-518)
+the way hypothesis generalizes examples."""
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+
+PAYLOAD_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+)
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a"), ("r1", "c"), ("r2", "z")]
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(range(len(KEYS))),
+        st.sampled_from(["insert", "update", "delete"]),
+        st.text(alphabet="abcxyz \n", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+cuts_strategy = st.lists(st.integers(min_value=1, max_value=39), max_size=3, unique=True)
+
+
+def _fold(events):
+    state = {}
+    for off, (ki, op, content) in enumerate(events):
+        key = KEYS[ki]
+        if op == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = (off, content)
+    return {
+        k: (off, content, hashlib.sha256(content.encode()).hexdigest())
+        for k, (off, content) in state.items()
+    }
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=ops_strategy, cuts=cuts_strategy)
+def test_any_interleaving_matches_fold(spark, tmp_path_factory, events, cuts):
+    tdir = str(tmp_path_factory.mktemp("prop") / "t")
+    table = LakeTable.create(spark, tdir, PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    rows = []
+    for off, (ki, op, content) in enumerate(events):
+        repo, path = KEYS[ki]
+        sha = hashlib.sha256(content.encode()).hexdigest() if op != "delete" else None
+        rows.append(
+            (off, op, None, repo, path, f"c{off}", "py",
+             content if op != "delete" else None, sha)
+        )
+    schema = T.StructType(
+        ENVELOPE_SCHEMA.fields[:]
+        + [T.StructField("content_sha256", T.StringType(), True)]
+    )
+    bounds = sorted({0, len(rows), *[c for c in cuts if c < len(rows)]})
+    for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        batch = spark.createDataFrame(rows[lo:hi], schema)
+        table = LakeTable.load(spark, tdir)
+        table.merge(batch, stream_id="prop", batch_id=b, salt_buckets=2)
+    expected = _fold(events)
+    got = {
+        (r["repo"], r["path"]): (r["_last_offset"], r["content"], r["content_sha256"])
+        for r in LakeTable.load(spark, tdir).read().collect()
+    }
+    assert got == expected
