@@ -40,6 +40,7 @@ def make_apply_batch(
     metrics: list | None = None,
     on_progress: Callable[[dict], None] | None = None,
     on_error: Callable[[BaseException], None] | None = None,
+    compact_threshold: int | None = 8,
 ):
     """Build the foreachBatch body. The table is re-loaded per batch
     (cheap manifest read) so concurrent readers/compaction see a
@@ -57,6 +58,7 @@ def make_apply_batch(
             lineage = table.merge(
                 batch_df, stream_id=stream_id, batch_id=batch_id,
                 salt_buckets=salt_buckets, transform=transform,
+                compact_threshold=compact_threshold,
             )
         except BaseException as e:
             if on_error is not None:
@@ -103,6 +105,7 @@ def start_stream(
     state: StateStore | None = None,
     pipeline_id: str | None = None,
     metrics: list | None = None,
+    compact_threshold: int | None = 8,
 ) -> StreamingQuery:
     """Tail the ordered event log and apply it to the table.
 
@@ -124,6 +127,7 @@ def start_stream(
             state=state,
             pipeline_id=pipeline_id,
             metrics=metrics,
+            compact_threshold=compact_threshold,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -39,6 +39,7 @@ def run_backfill(
     transform: Callable[[DataFrame], DataFrame] | None = default_cdc_transform,
     salt_buckets: int = 32,
     schema=ENVELOPE_SCHEMA,
+    compact_threshold: int | None = 8,
 ) -> dict:
     """Apply the log slice [start_offset, start_offset + max_size) to
     the table in ``batch_size``-event MERGE commits (one commit when
@@ -47,12 +48,14 @@ def run_backfill(
         return _run_backfill_locked(
             spark, log_dir, table_path, state, pipeline_id, start_offset,
             max_size, batch_size, transform, salt_buckets, schema,
+            compact_threshold,
         )
 
 
 def _run_backfill_locked(
     spark, log_dir, table_path, state, pipeline_id, start_offset,
     max_size, batch_size, transform, salt_buckets, schema,
+    compact_threshold=8,
 ) -> dict:
     saved = state.get(pipeline_id).get("migration_offset", 0)
     effective_start = max(saved, start_offset)  # pipelines/base.go:380-392
@@ -89,6 +92,7 @@ def _run_backfill_locked(
                 batch_id=lo,
                 salt_buckets=salt_buckets,
                 transform=transform,
+                compact_threshold=compact_threshold,
             )
             lo += step
             st = state.get(pipeline_id)
