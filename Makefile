@@ -1,0 +1,27 @@
+.PHONY: zip test bench scaling verify-flow clean
+
+zip:
+	zip -qr migrator_spark.zip migrator_spark
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+scaling:
+	python bench.py --scaling
+
+# end-to-end smoke: gen → backfill → stream-drain → oracle verify
+verify-flow: zip
+	rm -rf /tmp/msflow && mkdir -p /tmp/msflow
+	python jobs/run.py gen --log /tmp/msflow/log --events 20000 --keys 800 --hot 0.3
+	spark-submit --master 'local[8]' --py-files migrator_spark.zip jobs/run.py backfill \
+		--log /tmp/msflow/log --table /tmp/msflow/table --work /tmp/msflow/work \
+		--max-size 10000 --batch-size 5000
+	spark-submit --master 'local[8]' --py-files migrator_spark.zip jobs/run.py stream \
+		--log /tmp/msflow/log --table /tmp/msflow/table --work /tmp/msflow/work --drain
+	python jobs/run.py verify --log /tmp/msflow/log --table /tmp/msflow/table
+
+clean:
+	rm -rf migrator_spark.zip .pytest_cache spark-warehouse
