@@ -1,0 +1,44 @@
+"""Merge strategy variants must all produce identical state: salted vs
+unsalted layout, broadcast-offset winner join vs shuffle-join fallback
+(the path taken when a batch's winner set exceeds the broadcast
+limit)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.gen import fold_oracle, generate_event_log, load_events_pandas
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+
+PAYLOAD_SCHEMA = T.StructType(
+    PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+)
+
+
+@pytest.fixture(scope="module")
+def vlog(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vlog") / "events")
+    generate_event_log(d, num_events=1500, num_keys=120, hot_fraction=0.5, seed=21)
+    return d
+
+
+@pytest.mark.parametrize(
+    "salt,bcast",
+    [(0, 2_000_000), (32, 2_000_000), (32, 0), (4, 0)],
+    ids=["nosalt-bcast", "salt-bcast", "salt-shufflejoin", "smallsalt-shufflejoin"],
+)
+def test_merge_variants_equal_oracle(spark, vlog, tmp_path, salt, bcast):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, KEY_COLS, num_buckets=8
+    )
+    events = spark.read.schema(ENVELOPE_SCHEMA).parquet(f"{vlog}/events-*.parquet")
+    table.merge(
+        events, stream_id="v", batch_id=0, salt_buckets=salt,
+        transform=default_cdc_transform, broadcast_winner_limit=bcast,
+    )
+    oracle = fold_oracle(load_events_pandas(vlog))
+    got = table.read().orderBy("repo", "path").toPandas()
+    assert len(got) == len(oracle)
+    assert list(got["content_sha256"]) == list(oracle["content_sha256"])
+    assert list(got["_last_offset"]) == list(oracle["_last_offset"])
