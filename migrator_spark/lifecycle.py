@@ -1,0 +1,82 @@
+"""Pipeline lifecycle callbacks — the reference's 8 event hooks
+(/root/reference/pipelines/base.go:38-54: OnMigrationStart/Progress/
+Error/Stopped and OnReplicationStart/Progress/Error/Stopped)
+re-expressed for the two phases of this engine: backfill ("migration")
+and streaming apply ("replication").
+
+Callback payloads:
+- start:    {"pipeline_id", "phase", ...context}
+- progress: the per-batch lineage record (totals, batch_id, timing)
+- error:    the exception
+- stopped:  {"pipeline_id", "phase", "status", ...final state doc}
+
+Streaming `on_replication_stopped` fires through a
+StreamingQueryListener when the query terminates (stop, drain
+completion, or failure) — Spark's native lifecycle surface; the others
+fire synchronously at their call sites.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+def _noop(*_a, **_k) -> None:
+    return None
+
+
+@dataclass
+class LifecycleCallbacks:
+    """All 8 hooks, no-op by default. ``fired`` records invocation
+    order (hook names) for test assertions and debugging."""
+
+    on_migration_start: Callable = _noop
+    on_migration_progress: Callable = _noop
+    on_migration_error: Callable = _noop
+    on_migration_stopped: Callable = _noop
+    on_replication_start: Callable = _noop
+    on_replication_progress: Callable = _noop
+    on_replication_error: Callable = _noop
+    on_replication_stopped: Callable = _noop
+    fired: list = field(default_factory=list)
+
+    def fire(self, hook: str, *args) -> None:
+        self.fired.append(hook)
+        getattr(self, f"on_{hook}")(*args)
+
+
+def attach_stop_listener(spark, query, callbacks: LifecycleCallbacks,
+                         payload: dict) -> None:
+    """Fire ``replication_stopped`` when the given streaming query
+    terminates, via Spark's StreamingQueryListener (fires for stop(),
+    availableNow drain completion, and failures alike). The listener
+    detaches itself after firing."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Stop(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == qid:
+                try:
+                    callbacks.fire(
+                        "replication_stopped",
+                        {**payload, "exception": event.exception},
+                    )
+                finally:
+                    try:
+                        spark.streams.removeListener(self)
+                    except Exception:
+                        pass
+
+    spark.streams.addListener(_Stop())

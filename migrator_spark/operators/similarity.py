@@ -6,7 +6,21 @@ All heavy math runs in Arrow-vectorized pandas UDFs (numpy batch
 kernels); all candidate generation is DataFrame joins on LSH buckets so
 the O(n²) pair space is never materialized — only same-bucket pairs
 shuffle, which is the property that keeps these runnable at corpus
-scale.
+scale. Degenerate buckets (boilerplate / near-empty docs all hashing
+alike) are capped with ``max_bucket_size`` so one pathological bucket
+can never go quadratic.
+
+Oracle-checkability (round-2 redesign): every emitted metric is
+SQL-computable so the driver's DuckDB oracle can hash-match results —
+- SimHash token hashes are the first 8 bytes of sha256(token)
+  (DuckDB: hex-nibble extraction of ``sha256(t)``), not a
+  Python-only hash;
+- MinHash/LSH is used ONLY for candidate generation; emitted pairs are
+  verified with EXACT word-n-gram Jaccard (banding 32×2 puts the miss
+  probability for j ≥ 0.8 below 1e-22, so LSH output equals the exact
+  all-pairs answer at verification threshold);
+- the prefix-filter join (:func:`jaccard_prefix_filter_pairs`) is
+  exact by construction (PPJoin-style prefix filtering).
 """
 
 from __future__ import annotations
@@ -16,10 +30,11 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 # Deterministic 64-bit mixing constants (splitmix64).
 _MASK64 = (1 << 64) - 1
@@ -32,28 +47,43 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> 31)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of the k-character shingles of ``text``."""
-    if text is None or len(text) < k:
+def _hash_strings(items: list[str]) -> np.ndarray:
+    """64-bit hashes of a list of strings: polynomial accumulation over
+    utf-8 bytes, finalized with splitmix64 (deterministic, well-mixed
+    for LSH purposes — these hashes never need a SQL twin because they
+    only steer candidate generation, not emitted values)."""
+    if not items:
         return np.empty(0, dtype=np.uint64)
-    b = text.encode("utf-8", "ignore")
-    n = max(len(b) - k + 1, 1)
-    # vectorized rolling bytes view → blake2b per shingle is too slow;
-    # use numpy byte-window view hashed by splitmix over a polynomial
-    # accumulation (deterministic, well-mixed for LSH purposes).
-    arr = np.frombuffer(b, dtype=np.uint8)
-    win = np.lib.stride_tricks.sliding_window_view(arr, min(k, len(arr)))[:n].astype(np.uint64)
-    weights = np.power(1099511628211, np.arange(win.shape[1], dtype=np.uint64), dtype=np.uint64)
-    acc = (win * weights).sum(axis=1, dtype=np.uint64)
-    return _splitmix64(acc)
+    out = np.empty(len(items), dtype=np.uint64)
+    for i, s in enumerate(items):
+        acc = np.uint64(1469598103934665603)
+        for b in s.encode("utf-8", "ignore"):
+            acc = (acc * np.uint64(1099511628211) + np.uint64(b)) & np.uint64(_MASK64)
+        out[i] = acc
+    return _splitmix64(out)
 
 
-def make_minhash_udf(num_hashes: int = 64, shingle_size: int = 5, seed: int = 42):
-    """MinHash signature UDF: array<bigint> of length ``num_hashes``.
+def _word_ngrams(text: str | None, n: int) -> list[str]:
+    """Distinct word n-grams, matching the tokenization the SQL oracle
+    uses: lowercase, split on whitespace, drop empties; docs with fewer
+    than ``n`` tokens yield no shingles."""
+    if not text:
+        return []
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return []
+    return sorted({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
+
+
+def make_minhash_udf(num_hashes: int = 64, ngram: int = 3, seed: int = 42):
+    """MinHash signature UDF over word n-gram shingles:
+    array<bigint> of length ``num_hashes``.
 
     Permutations are the standard (a*x + b) family over 64-bit hashes,
-    seeded deterministically. Vectorized: per document one
-    (shingles × num_hashes) numpy min-reduce.
+    seeded deterministically. Shingling matches
+    :func:`ngram_jaccard_pairs` exactly, so the signature estimates the
+    same Jaccard the verify stage computes — the banding recall bound
+    then applies to the verified quantity.
     """
     rng = np.random.RandomState(seed)
     a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) | 1)
@@ -64,7 +94,7 @@ def make_minhash_udf(num_hashes: int = 64, shingle_size: int = 5, seed: int = 42
         for s in batches:
             out = []
             for text in s:
-                h = _shingle_hashes(text, shingle_size)
+                h = _hash_strings(_word_ngrams(text, ngram))
                 if h.size == 0:
                     out.append(None)
                     continue
@@ -82,25 +112,32 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
-    bands: int = 16,
-    shingle_size: int = 5,
+    bands: int = 32,
+    ngram: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
+    """Candidate near-duplicate pairs via banded MinHash LSH:
+    shingle → minhash → band → bucket-join. Returns (id_a, id_b) with
+    id_a < id_b, deduplicated across bands.
 
-    shingle → minhash → band → bucket-join: each signature is split
-    into ``bands`` bands of ``num_hashes/bands`` rows; documents
-    sharing ANY band bucket become a candidate pair. Returns
-    (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction
-    of matching minhashes (unbiased Jaccard estimate), deduplicated
-    across bands.
+    Recall: a pair with Jaccard j survives with prob
+    1 - (1 - j^(num_hashes/bands))^bands; at the 32×2 default and
+    j ≥ 0.8 the miss probability is ≤ (1-0.64)^32 ≈ 6e-15 — verified
+    output (exact-Jaccard filter downstream) is indistinguishable from
+    the exact all-pairs answer.
+
+    ``max_bucket_size`` drops LSH buckets larger than the cap before
+    the self-join: a degenerate band value (boilerplate headers,
+    near-empty docs) would otherwise make one bucket O(n²). Dropped
+    buckets are a recall trade documented to the caller; size the cap
+    so real duplicate clusters stay under it.
     """
     rows_per_band = num_hashes // bands
-    mh = make_minhash_udf(num_hashes, shingle_size, seed)
+    mh = make_minhash_udf(num_hashes, ngram, seed)
     sig = df.select(F.col(id_col).alias("_id"), mh(F.col(text_col)).alias("_sig")).filter(
         F.col("_sig").isNotNull()
     )
-    sig.persist()
     # band hash = hash of the band's slice (posexplode keeps band idx)
     band_arrays = F.array(
         *[
@@ -109,9 +146,11 @@ def minhash_lsh_candidates(
         ]
     )
     banded = sig.select("_id", F.posexplode(band_arrays).alias("_band", "_bh"))
+    if max_bucket_size:
+        banded = _cap_buckets(banded, ["_band", "_bh"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("l._band") == F.col("r._band"))
@@ -121,18 +160,16 @@ def minhash_lsh_candidates(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
-    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
-    est = F.aggregate(
-        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(num_hashes)
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
-    )
+
+
+def _cap_buckets(df: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Drop rows belonging to buckets with more than ``cap`` members —
+    the anti-quadratic guard for LSH self-joins. One extra aggregation
+    over the (already slim) bucket keys; map-side combine keeps it
+    O(distinct buckets) over the wire."""
+    sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    keep = sizes.filter(F.col("_bn") <= cap).drop("_bn")
+    return df.join(keep, bucket_cols, "inner")  # AQE broadcasts when small
 
 
 # ---------------------------------------------------------------------------
@@ -140,43 +177,65 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf(T.LongType())
-def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """64-bit SimHash over word tokens: sign of the per-bit weighted
-    sum of token hashes. Near-duplicates have small Hamming distance."""
-    for s in batches:
-        out = np.zeros(len(s), dtype=np.int64)
-        for i, text in enumerate(s.fillna("")):
-            if not text:
-                out[i] = 0
-                continue
-            toks = text.lower().split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.array(
-                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                 for t in set(toks)],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.int64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
-        yield pd.Series(out)
+def make_simhash_udf(min_tokens: int = 5):
+    """64-bit SimHash over distinct word tokens: sign of the per-bit
+    sum over token hashes, where a token's hash is the FIRST 8 BYTES OF
+    sha256(token) big-endian — chosen so a SQL engine can recompute the
+    identical value (DuckDB: hex-nibble extraction of sha256(t); see
+    SQL_SIMHASH_DUPS in migrator_spark.queries). Docs with fewer than
+    ``min_tokens`` distinct tokens return NULL (degenerate-input guard:
+    near-empty docs otherwise all collide into one giant bucket)."""
+
+    @pandas_udf(T.LongType())
+    def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out: list[int | None] = []
+            for text in s.fillna(""):
+                toks = sorted({t for t in text.lower().split() if t})
+                if len(toks) < min_tokens:
+                    out.append(None)
+                    continue
+                hs = np.array(
+                    [
+                        int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+                v = (2 * bits - 1).sum(axis=0)
+                # exact integer packing (a float64 sum of bit powers
+                # loses bits past the 53-bit mantissa)
+                uval = 0
+                for p in np.nonzero(v > 0)[0]:
+                    uval |= 1 << int(p)
+                out.append(uval - (1 << 64) if uval >= (1 << 63) else uval)
+            yield pd.Series(out, dtype="Int64")
+
+    return simhash64
 
 
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 2,
     blocks: int = 4,
+    min_tokens: int = 5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: by the pigeonhole principle, two
     hashes within ``max_hamming < blocks`` bits share at least one of
     ``blocks`` 16-bit blocks — block equality is the LSH bucket join,
-    exact Hamming distance filters candidates."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    exact Hamming distance filters candidates. Output (id_a, id_b,
+    hamming) is exactly the all-pairs answer (recall 1 by pigeonhole),
+    so a SQL oracle can recompute it."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole recall needs max_hamming < blocks")
+    sh_udf = make_simhash_udf(min_tokens)
+    sh = df.select(F.col(id_col).alias("_id"), sh_udf(F.col(text_col)).alias("_sh")).filter(
+        F.col("_sh").isNotNull()
+    )
     width = 64 // blocks
     block_arr = F.array(
         *[
@@ -185,6 +244,8 @@ def simhash_near_dups(
         ]
     )
     blocked = sh.select("_id", "_sh", F.posexplode(block_arr).alias("_blk", "_bv"))
+    if max_bucket_size:
+        blocked = _cap_buckets(blocked, ["_blk", "_bv"], max_bucket_size)
     l, r = blocked.alias("l"), blocked.alias("r")
     cand = (
         l.join(
@@ -204,8 +265,26 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (exact verification for candidate pairs)
+# n-gram Jaccard: exact verify stage + exact prefix-filter self-join
 # ---------------------------------------------------------------------------
+
+
+def _ngram_col(text_col: str, n: int):
+    """Distinct word-n-gram array column — MUST stay in lockstep with
+    the DuckDB oracle expression (string_split_regex + list_transform)
+    and with :func:`_word_ngrams`."""
+    tok = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    if n > 1:
+        shingles = F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        shingles = tok
+    return F.array_distinct(shingles)
 
 
 def ngram_jaccard_pairs(
@@ -216,33 +295,78 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for (id_a, id_b) candidate pairs —
-    the verify stage after MinHash/SimHash blocking."""
-    tok = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-    if n > 1:
-        shingles = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
-        )
-    else:
-        shingles = tok
-    grams = df.select(F.col(id_col).alias("_id"), F.array_distinct(shingles).alias("_toks"))
+    the verify stage after MinHash/SimHash blocking. Docs with fewer
+    than ``n`` tokens have no shingles and drop out (inner join on an
+    empty gram set yields jaccard NULL → filtered by any threshold)."""
+    grams = df.select(
+        F.col(id_col).alias("_id"), _ngram_col(text_col, n).alias("_toks")
+    ).filter(F.size("_toks") > 0)
     ga = grams.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     gb = grams.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size(F.array_union("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
     return (
         candidates.join(ga, "id_a")
         .join(gb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(inter / F.nullif(union, F.lit(0)), 4).alias("jaccard"),
+            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
         )
     )
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tau: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs word-n-gram Jaccard ≥ tau, without the O(n²)
+    pair space: PPJoin-style prefix filtering.
+
+    For Jaccard(A,B) ≥ τ the overlap o satisfies o ≥ τ·|A| (since
+    |A∪B| ≥ |A|), so every common shingle cannot fit in A's suffix of
+    length ⌈τ·|A|⌉ − 1 — some common shingle lies in A's PREFIX of
+    length |A| − ⌈τ·|A|⌉ + 1 under any fixed global shingle order.
+    Joining prefix(A) against the full inverted index therefore has
+    RECALL 1; rarest-first ordering makes prefixes hit the shortest
+    posting lists, keeping candidates near-linear. Exact Jaccard then
+    filters. Result is hash-identical to the brute-force SQL answer —
+    this is the oracle-checkable exact scale path next to the
+    probabilistic MinHash one.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"), _ngram_col(text_col, n).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    exploded = grams.select("_id", F.size("_toks").alias("_sz"), F.explode("_toks").alias("_g"))
+    freq = exploded.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = exploded.join(freq, "_g")
+    w = Window.partitionBy("_id").orderBy(F.asc("_f"), F.asc("_g"))
+    prefix_len = F.col("_sz") - F.ceil(F.lit(tau) * F.col("_sz")) + 1
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_id", "_g")
+    )
+    inv = exploded.select(F.col("_id").alias("_idb"), "_g")
+    cand = (
+        prefix.join(inv, "_g")
+        .filter(F.col("_id") != F.col("_idb"))
+        .select(
+            F.least("_id", "_idb").alias("id_a"),
+            F.greatest("_id", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n).filter(
+        F.col("jaccard") >= tau
+    )
+
+
 # ---------------------------------------------------------------------------
-# embedding similarity search (ANN)
+# embedding similarity search (exact + ANN with a precomputed index)
 # ---------------------------------------------------------------------------
 
 
@@ -257,11 +381,59 @@ def cosine_topk_bruteforce(
     v = F.col(vec_col).cast("array<double>")
     dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     nv = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
-    nq = float(np.linalg.norm(query_vec))
+    # query norm as the same sequential fold the SQL oracle's
+    # list_dot_product uses (a numpy pairwise-summation norm can differ
+    # in the last ulp and flip a round(x, 4) at a boundary)
+    nq = F.sqrt(F.aggregate(F.zip_with(q, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
     return (
-        df.select(F.col(id_col), F.round(dot / (nv * F.lit(nq)), 4).alias("cos_sim"))
+        df.select(F.col(id_col), F.round(dot / (nv * nq), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def deterministic_planes(dim: int, num_bits: int, prefix: str = "p") -> np.ndarray:
+    """Hyperplane coefficients derived from md5 — EXACTLY reproducible
+    by any engine (coef = int(md5(f"{prefix}-{b}-{d}")[:8], 16) / 2^31
+    - 1: integer arithmetic + a power-of-two division, no platform
+    randomness, no libm). This is what lets the ANN oracle replicate
+    the bucketing in SQL instead of trusting the Python side."""
+    P = np.empty((num_bits, dim))
+    for b in range(num_bits):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{prefix}-{b}-{d}".encode()).hexdigest()[:8], 16)
+            P[b, d] = h / 2**31 - 1.0
+    return P
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
+    """JVM-side bucket id: bit b = sign of the SEQUENTIAL left-fold dot
+    product with plane b (F.aggregate — same fold order as DuckDB's
+    list_dot_product and a plain Python loop, so all three agree
+    bit-for-bit away from a zero crossing). No Python in the path."""
+    v = F.col(vec_col).cast("array<double>")
+    acc = F.lit(0)
+    for b in range(planes.shape[0]):
+        p = F.lit([float(x) for x in planes[b]]).cast("array<double>")
+        proj = F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def _fold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def query_bucket(query_vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side bucket of the query vector, using the same
+    sequential fold as :func:`lsh_bucket_expr`."""
+    return sum(
+        (1 << b) for b in range(planes.shape[0]) if _fold_dot(query_vec, planes[b]) > 0
     )
 
 
@@ -285,21 +457,80 @@ def make_hyperplane_lsh_udf(dim: int, num_bits: int = 16, seed: int = 42):
     return lsh_bucket, planes
 
 
+def build_ann_index(
+    df: DataFrame,
+    index_path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 6,
+    plane_prefix: str = "p",
+) -> None:
+    """Precompute hyperplane-LSH buckets AT INGEST and store the
+    vectors parquet-partitioned by bucket — the physical layout that
+    makes an ANN probe read only its probed buckets (Spark partition
+    pruning on the ``_lsh=`` directories; scanned files < total files).
+    The round-1 version bucketed the whole table at query time — a full
+    scan per query, which defeats the point of an index. Bucketing is
+    pure Catalyst expressions over deterministic md5-derived planes
+    (no Python in the write path, SQL-replicable for oracles)."""
+    planes = deterministic_planes(dim, num_bits, plane_prefix)
+    (
+        df.withColumn("_lsh", lsh_bucket_expr(vec_col, planes))
+        .repartition(F.col("_lsh"))
+        .write.partitionBy("_lsh")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def probe_buckets(query_vec: list[float], num_bits: int = 6,
+                  plane_prefix: str = "p", hamming: int = 1) -> list[int]:
+    """Multiprobe set: the query's bucket plus all buckets within the
+    given Hamming radius (radius 1 → 1+num_bits probes)."""
+    planes = deterministic_planes(len(query_vec), num_bits, plane_prefix)
+    qb = query_bucket(query_vec, planes)
+    out = [qb]
+    if hamming >= 1:
+        out += [qb ^ (1 << i) for i in range(num_bits)]
+    if hamming >= 2:
+        out += [qb ^ (1 << i) ^ (1 << j) for i in range(num_bits) for j in range(i + 1, num_bits)]
+    return out
+
+
+def ann_query(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_bits: int = 6,
+    plane_prefix: str = "p",
+    hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k over a prebuilt bucket-partitioned index: the ``_lsh``
+    filter prunes to the probed partitions (check the scan's
+    ``PartitionFilters`` — unprobed buckets are never read), then exact
+    cosine ranks the survivors."""
+    buckets = probe_buckets(query_vec, num_bits, plane_prefix, hamming)
+    idx = spark.read.parquet(index_path).filter(F.col("_lsh").isin(buckets))
+    return cosine_topk_bruteforce(idx, query_vec, id_col, vec_col, k)
+
+
 def cosine_topk_lsh(
     df: DataFrame, query_vec: list[float], id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, num_bits: int = 12,
     probes: int = 8, seed: int = 42,
 ) -> DataFrame:
-    """LSH-bucketed ANN: scan only vectors whose hyperplane bucket is
-    within the ``probes`` nearest buckets of the query's (by Hamming
-    distance). At corpus scale the bucket column is precomputed and the
-    table bucketed/partitioned by it, so a query touches a small slice
-    of the data instead of the whole table."""
+    """Index-free LSH pruning (kept for one-shot queries where building
+    an index isn't worth it): bucket the table, keep the ``probes``
+    nearest buckets, exact-rank the rest. For repeated queries use
+    :func:`build_ann_index` + :func:`ann_query` — this variant scans
+    the table once per query."""
     q = np.asarray(query_vec, dtype=float)
     lsh_udf, planes = make_hyperplane_lsh_udf(len(q), num_bits, seed)
     qbits = int(((q @ planes.T > 0).astype(np.uint32) << np.arange(num_bits, dtype=np.uint32)).sum())
-    # probe buckets: query bucket + all buckets at Hamming distance ≤1,
-    # truncated to `probes`
     cand_buckets = [qbits] + [qbits ^ (1 << i) for i in range(num_bits)]
     cand_buckets = cand_buckets[: max(probes, 1)]
     bucketed = df.withColumn("_lsh", lsh_udf(F.col(vec_col)))

@@ -18,11 +18,14 @@ fallback), with the identical semantics the north rule demands:
   LSM cost model: copy-on-write per micro-batch would rewrite every
   affected bucket each commit — ruinous at 10^10 events where a
   uniform batch touches all buckets.
-- **Atomic snapshot commits.** Each merge writes an immutable manifest
-  ``snapshots/v{N}.json`` and atomically flips the ``HEAD`` pointer
-  (``os.replace`` — on HDFS this is an atomic rename; on S3 it would be
-  a conditional PUT / commit service, same protocol). Readers always
-  see a complete snapshot; time travel = read an older manifest.
+- **Atomic snapshot commits, zero per-file renames.** Spark writes the
+  batch into a staging directory which is promoted with ONE atomic
+  directory rename to ``data/commit-v{N}/``; the immutable manifest
+  ``snapshots/v{N}.json`` then names every live file and the ``HEAD``
+  pointer flips atomically. No driver loop touches individual data
+  files. All metadata ops go through the :class:`~migrator_spark.
+  plans.tableio.TableIO` seam (local POSIX here; HDFS rename / S3
+  conditional-PUT implementations drop in behind the same interface).
 - **Exactly-once.** The manifest records the highest committed
   ``(stream_id, batch_id)``; a foreachBatch retry of an already
   committed batch is a no-op (Delta's txn appId/version pattern). On
@@ -36,7 +39,17 @@ fallback), with the identical semantics the north rule demands:
 - **Per-partition lineage.** Every merge records per-bucket
   applied/deduped/deleted counters plus running totals
   (reference analogue: migration progress counters,
-  pipelines/base.go:506-537).
+  pipelines/base.go:506-537). Counter semantics match the reference:
+  they count events PROCESSED at commit time. A replayed stale event
+  arriving in a NEW (uncommitted) batch is counted as applied even
+  though it loses LWW at read time — same as the reference, which
+  counts every document its upsert loop pushes (pipelines/
+  base.go:506-537) regardless of whether a later write supersedes it.
+
+Batch contract: ``offset`` values must be unique WITHIN a batch (they
+identify winner rows in the broadcast join). This is checked on every
+merge at the winner level for free, and fully (all events) when
+``validate_offsets=True``.
 
 Single-writer assumption: one streaming query owns the table (the
 duplicate-run guard lives in :mod:`migrator_spark.state`, mirroring
@@ -45,17 +58,16 @@ pipelines/base.go:386-388). Readers are lock-free.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from migrator_spark.operators.dedup import bucket_expr
+from migrator_spark.plans.tableio import LocalTableIO, TableIO
 from migrator_spark.schema import reconcile_schemas
 
 LAST_OFFSET_COL = "_last_offset"
@@ -67,13 +79,35 @@ N_EVENTS_COL = "_n_events"
 META_COLS = ("offset", "op", "ts")
 
 
+def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int, int]:
+    """(rows, events, deletes) of one freshly staged delta file, read
+    driver-side with pyarrow — a footer read plus (optionally) two tiny
+    counter columns. This replaces a per-commit Spark job + collect
+    (the round-1 serial floor); at cluster scale the same reads go
+    through pyarrow.fs against HDFS/S3. Metadata-plane work: O(files
+    per commit), independent of batch size."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    rows = pf.metadata.num_rows
+    if not read_counters or rows == 0:
+        return rows, 0, 0
+    t = pf.read(columns=[N_EVENTS_COL, DELETED_COL])
+    events = int(pc.sum(t[N_EVENTS_COL]).as_py() or 0)
+    deletes = int(pc.sum(t[DELETED_COL].cast("int64")).as_py() or 0)
+    return rows, events, deletes
+
+
 class LakeTable:
     """A versioned keyed table on a filesystem. See module docstring."""
 
-    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+    def __init__(self, spark: SparkSession, path: str, manifest: dict,
+                 io: TableIO | None = None):
         self.spark = spark
         self.path = path
         self.manifest = manifest
+        self.io = io or LocalTableIO()
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -85,17 +119,19 @@ class LakeTable:
         key_cols: list[str],
         num_buckets: int = 64,
         if_not_exists: bool = False,
+        io: TableIO | None = None,
     ) -> "LakeTable":
-        if os.path.exists(os.path.join(path, "HEAD")):
+        io = io or LocalTableIO()
+        if io.exists(os.path.join(path, "HEAD")):
             if if_not_exists:
-                return cls.load(spark, path)
+                return cls.load(spark, path, io=io)
             raise FileExistsError(f"table already exists at {path}")
         for k in key_cols:
             if k not in payload_schema.names:
                 raise ValueError(f"key column {k!r} missing from schema")
-        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
-        os.makedirs(os.path.join(path, "lineage"), exist_ok=True)
+        io.makedirs(os.path.join(path, "snapshots"))
+        io.makedirs(os.path.join(path, "data"))
+        io.makedirs(os.path.join(path, "lineage"))
         # _deleted marks tombstones: a delete's key + offset are kept so
         # that a replayed OLDER upsert for the key cannot resurrect the
         # row (the monotonic offset guard needs the delete's offset to
@@ -115,34 +151,37 @@ class LakeTable:
             "key_cols": key_cols,
             "num_buckets": num_buckets,
             "buckets": {},
+            "bucket_rows": {},
             "committed": {},
             "last_offset": -1,
             "lineage_totals": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
             "parent": None,
         }
-        t = cls(spark, path, manifest)
+        t = cls(spark, path, manifest, io=io)
         t._write_snapshot(manifest)
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        version = cls._head_version(path)
-        with open(os.path.join(path, "snapshots", f"v{version:08d}.json")) as f:
-            return cls(spark, path, json.load(f))
+    def load(cls, spark: SparkSession, path: str, io: TableIO | None = None) -> "LakeTable":
+        io = io or LocalTableIO()
+        version = cls._head_version(path, io)
+        manifest = io.read_json(os.path.join(path, "snapshots", f"v{version:08d}.json"))
+        return cls(spark, path, manifest, io=io)
 
     @classmethod
-    def load_version(cls, spark: SparkSession, path: str, version: int) -> "LakeTable":
+    def load_version(cls, spark: SparkSession, path: str, version: int,
+                     io: TableIO | None = None) -> "LakeTable":
         """Time travel: read the table as of snapshot ``version``."""
-        with open(os.path.join(path, "snapshots", f"v{version:08d}.json")) as f:
-            return cls(spark, path, json.load(f))
+        io = io or LocalTableIO()
+        manifest = io.read_json(os.path.join(path, "snapshots", f"v{version:08d}.json"))
+        return cls(spark, path, manifest, io=io)
 
     @staticmethod
-    def _head_version(path: str) -> int:
-        with open(os.path.join(path, "HEAD")) as f:
-            return int(f.read().strip())
+    def _head_version(path: str, io: TableIO) -> int:
+        return int(io.read_text(os.path.join(path, "HEAD")).strip())
 
     def refresh(self) -> "LakeTable":
-        return self.load(self.spark, self.path)
+        return self.load(self.spark, self.path, io=self.io)
 
     # ------------------------------------------------------------ properties
     @property
@@ -202,8 +241,25 @@ class LakeTable:
             .drop(DELETED_COL)
         )
 
-    def count(self) -> int:
-        return self.read().count()
+    def count(self, estimate: bool = False, buckets: list[int] | None = None) -> int:
+        """Visible row count.
+
+        ``estimate=True`` answers O(1) from the manifest — the sum of
+        stored rows across live files. It is an UPPER BOUND on the
+        visible count (delta chains hold superseded versions and
+        tombstones until compaction; after full compaction it differs
+        from exact only by live tombstones). This mirrors the
+        reference's estimated-vs-accurate count split
+        (/root/reference/datasources/mongo.go:177-221:
+        EstimatedDocumentCount vs CountDocuments).
+
+        ``buckets`` prunes the accurate count to the listed buckets
+        (manifest-level file pruning)."""
+        if estimate:
+            src = self.manifest.get("bucket_rows", {})
+            keys = None if buckets is None else {str(b) for b in buckets}
+            return sum(int(v) for b, v in src.items() if keys is None or b in keys)
+        return self.read(buckets=buckets).count()
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -218,22 +274,41 @@ class LakeTable:
         compact_threshold: int | None = 8,
         per_bucket_lineage: bool = True,
         broadcast_winner_limit: int = 2_000_000,
+        validate_offsets: bool = False,
     ) -> dict:
         """Apply a batch of change envelopes: LWW per key, upsert
         non-deletes, remove deletes. Returns the lineage dict.
 
         The batch must contain the key columns, ``offset`` (long,
-        globally unique) and ``op`` ∈ {insert, update, delete}; all
-        other non-meta columns are payload. insert and update are both
-        full-row upserts (reference semantics: updates are upserts
-        everywhere — memory.go:185-192, postgres.go:483-505; our
-        envelopes carry full rows so LWW full replace is exact).
+        unique within the batch) and ``op`` ∈ {insert, update, delete};
+        all other non-meta columns are payload. insert and update are
+        both full-row upserts (reference semantics: updates are upserts
+        everywhere — memory.go:185-192, postgres.go:483-505). NOTE the
+        full-row contract: the reference's Mongo update is a field-level
+        $set merge-patch (mongo.go:277-364) which is equivalent to LWW
+        full-row replace ONLY while envelopes carry complete rows — a
+        producer emitting partial updates would need a read-modify step
+        first. Our envelope derivations always carry full rows.
 
         ``transform`` (DataFrame → DataFrame, row-wise deterministic,
         e.g. :func:`default_cdc_transform`) is applied to the per-key
         LWW WINNERS, not to every event: equivalent result to the
         reference's transform-every-doc (pipelines/base.go:190-247) at
         O(keys) instead of O(events) Python-UDF cost per batch.
+
+        ``broadcast_winner_limit``: winner sets up to this size use the
+        broadcast-offset join (fat side never shuffles); larger winner
+        sets fall back to the skew-free shuffle join on (key, offset).
+        The winner count is measured (cheap slim-column agg) before the
+        plan is chosen, so the limit is actually enforced.
+
+        ``validate_offsets=True`` asserts offset uniqueness across ALL
+        events in the batch (one extra narrow pass — on in the test
+        suites, off on the hot path). Without it, a contract-violating
+        duplicate offset can pull a loser row through the offset join;
+        read-time LWW still resolves the key to its true max offset
+        (correctness self-heals), but lineage counters over-count —
+        hence the loud opt-in check.
         """
         manifest = self.manifest
         # Exactly-once: skip an already-committed (stream, batch).
@@ -255,17 +330,26 @@ class LakeTable:
         # columns, and the partial-agg hash state is ~24 bytes/key, so
         # map-side combine shrinks the shuffle to O(distinct keys) of
         # tiny rows; (2) inner-join the batch back on (key, offset) to
-        # fetch the full winner rows — offsets are globally unique, so
+        # fetch the full winner rows — offsets are unique per batch, so
         # the join key is unique per row: NO skew even when one repo
-        # owns half the batch, and AQE broadcasts the (small) winner
-        # set. A single-pass max_by(struct(payload)) instead drags the
-        # ~KB content payload through the aggregation hashmaps — it
-        # measures memory-bound and stops scaling past a few cores.
+        # owns half the batch. A single-pass max_by(struct(payload))
+        # instead drags the ~KB content payload through the aggregation
+        # hashmaps — it measures memory-bound and stops scaling past a
+        # few cores.
         ev = batch_df.drop(
             *[c for c in META_COLS if c not in (order_col, op_col) and c in batch_df.columns]
         )
-        batch_payload_names = [c for c in ev.columns if c not in (order_col, op_col)]
         slim = ev.select(*key_cols, order_col)
+        if validate_offsets:
+            chk = slim.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(order_col).alias("nd"),
+            ).collect()[0]
+            if chk["n"] != chk["nd"]:
+                raise ValueError(
+                    f"batch violates the offset-uniqueness contract: "
+                    f"{chk['n']} events but {chk['nd']} distinct offsets"
+                )
         # No salt needed here: the agg state is bytes/key and map-side
         # partial combine collapses even a repo owning half the batch
         # to one slim row per input partition before the shuffle.
@@ -275,18 +359,32 @@ class LakeTable:
         wmax = slim.groupBy(*key_cols).agg(
             F.max(order_col).alias(order_col), F.count(F.lit(1)).alias("_n")
         )
-        # Offsets are globally unique, so the winner set is fully
+        # Enforce broadcast_winner_limit WITHOUT a per-merge count job
+        # (measured: an always-on count+persist cost ~20% throughput at
+        # 8 cores): estimate this batch's winner count from the
+        # previous commit's measured winners (manifest "last_winners"),
+        # with 2× headroom. Only when the estimate is missing (first
+        # batch) or lands within 2× of the limit does an exact slim
+        # count run to decide. A mis-estimate can broadcast at most
+        # 2×limit — far under Spark's hard broadcast cap; sustained
+        # growth re-measures on the next merge.
+        est = manifest.get("last_winners")
+        if est is not None and est * 2 <= broadcast_winner_limit:
+            use_broadcast = True
+        else:
+            use_broadcast = wmax.count() <= broadcast_winner_limit
+        # Offsets are unique per batch, so the winner set is fully
         # identified by its offsets: broadcast the slim (offset,
         # events-count) pairs (16 B/row) and inner-join on offset — a
         # map-side broadcast hash join. The fat content-carrying side
         # is scanned ONCE and never shuffled (a key-join instead
         # shuffles + sorts the whole batch payload: measured as the
-        # dominant cost). Size batches (maxFilesPerTrigger /
-        # maxOffsetsPerTrigger) so distinct keys per batch stay within
-        # ``broadcast_winner_limit``; past it we fall back to the
-        # skew-free shuffle join on (key, offset).
+        # dominant cost). Past ``broadcast_winner_limit`` winners the
+        # broadcast would strain the driver, so the skew-free shuffle
+        # join on (key, offset) takes over (offsets make the join key
+        # unique → no hot-key skew even then).
         woff = wmax.select(F.col(order_col), F.col("_n"))
-        if broadcast_winner_limit:
+        if use_broadcast:
             winners = ev.join(F.broadcast(woff), on=order_col, how="inner")
         else:
             winners = ev.join(wmax, on=key_cols + [order_col], how="inner")
@@ -332,9 +430,10 @@ class LakeTable:
         # The write is the merge's ONLY wide Spark action: global
         # lineage totals ride along as observe() metrics, and ``_n``
         # (events folded into each winner) is persisted IN the delta
-        # files so the per-partition counters come from a narrow
-        # 3-column scan of the just-written files instead of a second
-        # pass over the batch.
+        # files so the per-partition counters come from a driver-side
+        # pyarrow read of two tiny counter columns (no extra Spark job,
+        # no collect — the round-1 version's per-commit stats job was
+        # a measured part of the serial commit floor).
         delta = winners.select(
             *payload_names,
             F.col(order_col).alias(LAST_OFFSET_COL),
@@ -352,8 +451,8 @@ class LakeTable:
             F.max(LAST_OFFSET_COL).alias("max_offset"),
         ]
         # (Per-partition counters as inline conditional observe sums
-        # were measured SLOWER than the narrow post-scan below: 3
-        # expressions per bucket evaluate on every row of the write.)
+        # were measured SLOWER than the arrow post-read: 3 expressions
+        # per bucket evaluate on every row of the write.)
         delta = delta.observe(obs, *obs_exprs)
         next_version = manifest["version"] + 1
         # Adaptive layout salt: spreading a bucket across S writer
@@ -366,13 +465,16 @@ class LakeTable:
         # compactor rewrote the whole table every other batch).
         n_parts = self.spark.sparkContext.defaultParallelism
         layout_salt = max(1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1)))
-        staged = self._stage_and_promote(
+        staged, staged_rows, per_bucket = self._stage_and_promote(
             delta, next_version, n_parts, salt_buckets=layout_salt,
+            collect_stats=per_bucket_lineage,
         )
         m = obs.get
+        wmax.unpersist()
         if not staged or not m.get("winners"):  # empty batch: record the commit
             return self._commit(
-                manifest["buckets"], new_table_schema, stream_id, batch_id,
+                manifest["buckets"], dict(manifest.get("bucket_rows", {})),
+                new_table_schema, stream_id, batch_id,
                 {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
                 {}, manifest["last_offset"],
             )
@@ -383,12 +485,14 @@ class LakeTable:
             "deleted": int(m["deletes"]),
         }
         new_buckets = dict(manifest["buckets"])
+        new_rows = dict(manifest.get("bucket_rows", {}))
         for b, rels in staged.items():
             new_buckets[str(b)] = new_buckets.get(str(b), []) + rels
-        per_bucket = self._delta_bucket_stats(staged) if per_bucket_lineage else {}
+            new_rows[str(b)] = new_rows.get(str(b), 0) + staged_rows.get(b, 0)
 
         result = self._commit(
             new_buckets,
+            new_rows,
             new_table_schema,
             stream_id,
             batch_id,
@@ -409,55 +513,28 @@ class LakeTable:
                 result["compacted"] = self.compact(buckets=over)
         return result
 
-    def _delta_bucket_stats(self, staged: dict) -> dict:
-        """Per-partition (bucket) lineage from the freshly written
-        delta files: a narrow scan of 2 counter columns (parquet
-        column pruning — content is never touched)."""
-        files = [os.path.join(self.path, r) for rels in staged.values() for r in rels]
-        stat_schema = T.StructType(
-            [
-                T.StructField(N_EVENTS_COL, T.LongType(), True),
-                T.StructField(DELETED_COL, T.BooleanType(), True),
-            ]
-        )
-        rows = (
-            self.spark.read.schema(stat_schema)
-            .parquet(*files)
-            .withColumn(
-                "_b",
-                F.regexp_extract(F.input_file_name(), r"/b(\d{5})/", 1).cast("int"),
-            )
-            .groupBy("_b")
-            .agg(
-                F.sum(N_EVENTS_COL).alias("events"),
-                F.count(F.lit(1)).alias("winners"),
-                F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
-            )
-            .collect()
-        )
-        return {
-            int(r["_b"]): {
-                "events": int(r["events"]),
-                "applied": int(r["winners"] - r["deletes"]),
-                "deduped": int(r["events"] - r["winners"]),
-                "deleted": int(r["deletes"]),
-            }
-            for r in rows
-        }
-
     def _stage_and_promote(
-        self, df, next_version: int, n_partitions: int, salt_buckets: int = 0
-    ) -> dict:
+        self, df, next_version: int, n_partitions: int, salt_buckets: int = 0,
+        collect_stats: bool = False,
+    ) -> tuple[dict, dict, dict]:
         """Write ``df`` (which carries BUCKET_COL) bucket-partitioned
-        into a staging dir, promote files under data/, return
-        {bucket: [relative paths]}.
+        into a staging dir, promote the WHOLE staging dir with one
+        atomic rename to ``data/commit-v{N}/``, and return
+        ({bucket: [relative paths]}, {bucket: rows},
+        {bucket: lineage stats or {}}).
 
         ``salt_buckets`` salts the layout shuffle — THE skew-prone
         stage (north rule: explicit hot-key salting): a hot repo
         funnels its winners into one bucket, and an unsalted
         repartition makes that bucket one straggler task. Salting
         spreads a hot bucket across ``salt_buckets`` writer tasks;
-        merge-on-read tolerates the extra files per bucket."""
+        merge-on-read tolerates the extra files per bucket.
+
+        Round-1 promoted files with one driver ``os.replace`` PER FILE
+        (thousands of serial syscalls per commit, impossible on object
+        stores); the single directory rename is the atomic-promotion
+        primitive every target FS offers (HDFS rename; on S3 the
+        manifest itself is the commit, since it names every file)."""
         parts = [F.col(BUCKET_COL)]
         if salt_buckets and salt_buckets > 1:
             parts.append(F.pmod(F.col(LAST_OFFSET_COL), F.lit(salt_buckets)))
@@ -468,19 +545,39 @@ class LakeTable:
             .mode("overwrite")
             .parquet(staging)
         )
+        commit_rel = f"data/commit-v{next_version:08d}"
+        commit_abs = os.path.join(self.path, commit_rel)
+        self.io.rename(staging, commit_abs)
         out: dict[int, list[str]] = {}
-        for bdir in glob.glob(os.path.join(staging, f"{BUCKET_COL}=*")):
-            b = int(os.path.basename(bdir).split("=")[1])
-            dest_dir = os.path.join(self.path, "data", f"b{b:05d}")
-            os.makedirs(dest_dir, exist_ok=True)
-            rels = []
-            for i, fpath in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
-                rel = f"data/b{b:05d}/part-v{next_version:08d}-{i:04d}.parquet"
-                os.replace(fpath, os.path.join(self.path, rel))
-                rels.append(rel)
+        tasks: list[tuple[int, str, str]] = []
+        for bdir in self.io.glob(commit_abs, f"{BUCKET_COL}=*"):
+            b = int(bdir.split("=")[1])
+            rels = [
+                f"{commit_rel}/{bdir}/{name}"
+                for name in self.io.glob(os.path.join(commit_abs, bdir), "*.parquet")
+            ]
             out[b] = rels
-        shutil.rmtree(staging, ignore_errors=True)
-        return out
+            tasks.extend((b, r, os.path.join(self.path, r)) for r in rels)
+        if not tasks:
+            self.io.rmtree(commit_abs)
+            return {}, {}, {}
+        rows: dict[int, int] = {}
+        stats: dict[int, dict] = {}
+        with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
+            results = pool.map(
+                lambda t: (t[0], _staged_file_stats(t[2], collect_stats)), tasks
+            )
+        for b, (n, events, deletes) in results:
+            rows[b] = rows.get(b, 0) + n
+            if collect_stats:
+                s = stats.setdefault(
+                    b, {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
+                )
+                s["events"] += events
+                s["applied"] += n - deletes
+                s["deduped"] += events - n
+                s["deleted"] += deletes
+        return out, rows, stats
 
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Rewrite the given buckets (default: all multi-file buckets)
@@ -496,14 +593,17 @@ class LakeTable:
             BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
         )
         next_version = self.manifest["version"] + 1
-        staged = self._stage_and_promote(resolved, next_version, len(buckets))
+        staged, staged_rows, _ = self._stage_and_promote(resolved, next_version, len(buckets))
         new_buckets = dict(self.manifest["buckets"])
+        new_rows = dict(self.manifest.get("bucket_rows", {}))
         for b in buckets:
             new_buckets.pop(str(b), None)
+            new_rows.pop(str(b), None)
         for b, rels in staged.items():
             new_buckets[str(b)] = rels
+            new_rows[str(b)] = staged_rows.get(b, 0)
         self._commit(
-            new_buckets, self.schema, None, None,
+            new_buckets, new_rows, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
             self.manifest["last_offset"],
         )
@@ -512,6 +612,7 @@ class LakeTable:
     def _commit(
         self,
         buckets: dict,
+        bucket_rows: dict,
         table_schema: T.StructType,
         stream_id: str | None,
         batch_id: int | None,
@@ -535,9 +636,15 @@ class LakeTable:
             "key_cols": old["key_cols"],
             "num_buckets": old["num_buckets"],
             "buckets": buckets,
+            "bucket_rows": bucket_rows,
             "committed": committed,
             "last_offset": last_offset,
             "lineage_totals": lineage_totals,
+            # winner count of the latest non-empty merge: the estimator
+            # that lets the next merge pick broadcast-vs-shuffle without
+            # a count job
+            "last_winners": (totals.get("applied", 0) + totals.get("deleted", 0))
+            or old.get("last_winners"),
             "parent": old["version"],
         }
         lineage = {
@@ -548,37 +655,33 @@ class LakeTable:
             "per_bucket": per_bucket,
             "schema_added": added or [],
         }
-        with open(os.path.join(self.path, "lineage", f"v{next_version:08d}.json"), "w") as f:
-            json.dump(lineage, f)
+        self.io.write_json_atomic(
+            os.path.join(self.path, "lineage", f"v{next_version:08d}.json"), lineage
+        )
         self._write_snapshot(manifest)
         self.manifest = manifest
         return {**lineage, "skipped": False}
 
     def _write_snapshot(self, manifest: dict) -> None:
         v = manifest["version"]
-        snap = os.path.join(self.path, "snapshots", f"v{v:08d}.json")
-        tmp = snap + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, snap)
-        head_tmp = os.path.join(self.path, "HEAD.tmp")
-        with open(head_tmp, "w") as f:
-            f.write(str(v))
-        os.replace(head_tmp, os.path.join(self.path, "HEAD"))
+        self.io.write_json_atomic(
+            os.path.join(self.path, "snapshots", f"v{v:08d}.json"), manifest
+        )
+        self.io.write_text_atomic(os.path.join(self.path, "HEAD"), str(v))
 
     # ------------------------------------------------------------- utilities
     def lineage_log(self) -> list[dict]:
-        out = []
-        for p in sorted(glob.glob(os.path.join(self.path, "lineage", "v*.json"))):
-            with open(p) as f:
-                out.append(json.load(f))
-        return out
+        ldir = os.path.join(self.path, "lineage")
+        return [
+            self.io.read_json(os.path.join(ldir, name))
+            for name in self.io.glob(ldir, "v*.json")
+        ]
 
     def clear(self) -> None:
         """Reference ``Clear`` (memory.go:239-249): drop all rows but
         keep the table (schema + committed history preserved)."""
         self._commit(
-            {}, self.schema, None, None,
+            {}, {}, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
             self.manifest["last_offset"],
         )
@@ -609,14 +712,17 @@ class LakeTable:
             .withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
         )
         next_version = self.manifest["version"] + 1
-        staged = self._stage_and_promote(keep_rows, next_version, len(affected))
+        staged, staged_rows, _ = self._stage_and_promote(keep_rows, next_version, len(affected))
         new_buckets = dict(self.manifest["buckets"])
+        new_rows = dict(self.manifest.get("bucket_rows", {}))
         for b in affected:
             new_buckets.pop(str(b), None)
+            new_rows.pop(str(b), None)
         for b, rels in staged.items():
             new_buckets[str(b)] = rels
+            new_rows[str(b)] = staged_rows.get(b, 0)
         self._commit(
-            new_buckets, self.schema, None, None,
+            new_buckets, new_rows, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
             self.manifest["last_offset"],
         )
@@ -624,22 +730,33 @@ class LakeTable:
 
     def expire_snapshots(self, keep: int = 2) -> int:
         """Vacuum: delete data files referenced only by snapshots older
-        than the newest ``keep`` (Iceberg expire_snapshots analogue)."""
-        snaps = sorted(glob.glob(os.path.join(self.path, "snapshots", "v*.json")))
+        than the newest ``keep`` (Iceberg expire_snapshots analogue).
+        All FS ops go through the TableIO seam."""
+        sdir = os.path.join(self.path, "snapshots")
+        snaps = self.io.glob(sdir, "v*.json")
         if len(snaps) <= keep:
             return 0
         live: set[str] = set()
-        for p in snaps[-keep:]:
-            with open(p) as f:
-                m = json.load(f)
+        for name in snaps[-keep:]:
+            m = self.io.read_json(os.path.join(sdir, name))
             for fl in m["buckets"].values():
                 live.update(fl)
         removed = 0
-        for fpath in glob.glob(os.path.join(self.path, "data", "b*", "*.parquet")):
-            rel = os.path.relpath(fpath, self.path)
-            if rel not in live:
-                os.remove(fpath)
-                removed += 1
-        for p in snaps[:-keep]:
-            os.remove(p)
+        ddir = os.path.join(self.path, "data")
+        for commit_dir in self.io.glob(ddir, "commit-v*"):
+            cpath = os.path.join(ddir, commit_dir)
+            kept_any = False
+            for bdir in self.io.glob(cpath, f"{BUCKET_COL}=*"):
+                bpath = os.path.join(cpath, bdir)
+                for name in self.io.glob(bpath, "*.parquet"):
+                    rel = f"data/{commit_dir}/{bdir}/{name}"
+                    if rel not in live:
+                        self.io.remove(os.path.join(bpath, name))
+                        removed += 1
+                    else:
+                        kept_any = True
+            if not kept_any:
+                self.io.rmtree(cpath)
+        for name in snaps[:-keep]:
+            self.io.remove(os.path.join(sdir, name))
         return removed

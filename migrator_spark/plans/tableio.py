@@ -1,0 +1,166 @@
+"""Filesystem seam for the LakeTable commit protocol.
+
+Every metadata / commit-protocol touch (snapshot json, HEAD pointer,
+lineage docs, staged-file listing, commit-directory promotion, vacuum)
+goes through :class:`TableIO` so the protocol is portable off POSIX:
+
+- **LocalTableIO** (default): plain local filesystem. ``rename`` is an
+  atomic ``os.replace``; on HDFS the same operation is the atomic
+  namenode rename; on S3 it maps to a conditional PUT (HEAD pointer)
+  plus plain PUTs for the immutable snapshot/lineage docs — which is
+  exactly Iceberg's commit model (immutable metadata files + one
+  atomic pointer swap).
+- **MemTableIO**: an in-memory fake proving the seam — the commit
+  protocol runs against a dict, no disk. Data *files* are still
+  written by Spark through its own Hadoop FS layer (as they would be
+  on a real cluster), so the fake covers the metadata plane only.
+
+The reference's equivalent portability surface is its five production
+connectors (/root/reference/datasources/postgres.go:379-525 etc.);
+here the sink is one table format and the portability seam is the FS.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+import posixpath
+import shutil
+
+
+class TableIO:
+    """Minimal FS contract the commit protocol needs. Paths are
+    '/'-separated strings relative to an implementation-defined root
+    or absolute — the table always passes absolute paths."""
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Visible atomically: readers see the old or new doc, never a
+        partial write. POSIX: temp + rename. S3: PUT (single-object
+        PUTs are atomic); for the mutable HEAD pointer a conditional
+        PUT (If-Match) provides the same single-writer swap."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Names (not paths) of entries directly under ``path``;
+        empty list if the directory does not exist."""
+        raise NotImplementedError
+
+    def glob(self, path: str, pattern: str) -> list[str]:
+        """Sorted names under ``path`` matching ``pattern``."""
+        return sorted(fnmatch.filter(self.listdir(path), pattern))
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic move of a file OR whole directory (commit-dir
+        promotion). HDFS rename is atomic; object stores use a commit
+        manifest instead (list-and-record, which this protocol also
+        supports since the manifest names every file explicitly)."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        raise NotImplementedError
+
+    # convenience wrappers used by the table
+    def read_json(self, path: str) -> dict:
+        return json.loads(self.read_text(path))
+
+    def write_json_atomic(self, path: str, doc: dict) -> None:
+        self.write_text_atomic(path, json.dumps(doc))
+
+
+class LocalTableIO(TableIO):
+    """POSIX implementation (the sandbox default)."""
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        # parent dirs are implicit, as on an object store
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def rename(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+    def remove(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class MemTableIO(TableIO):
+    """Dict-backed fake for protocol tests: directories are implicit
+    (like an object store), renames move whole key prefixes."""
+
+    def __init__(self):
+        self.files: dict[str, str] = {}
+
+    @staticmethod
+    def _norm(p: str) -> str:
+        return posixpath.normpath(p)
+
+    def read_text(self, path: str) -> str:
+        return self.files[self._norm(path)]
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.files[self._norm(path)] = text
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        return p in self.files or any(k.startswith(p + "/") for k in self.files)
+
+    def makedirs(self, path: str) -> None:
+        pass  # implicit, like S3 prefixes
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._norm(path) + "/"
+        names = {k[len(p):].split("/", 1)[0] for k in self.files if k.startswith(p)}
+        return sorted(names)
+
+    def rename(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        if s in self.files:
+            self.files[d] = self.files.pop(s)
+            return
+        moved = [k for k in self.files if k.startswith(s + "/")]
+        for k in moved:
+            self.files[d + k[len(s):]] = self.files.pop(k)
+
+    def remove(self, path: str) -> None:
+        self.files.pop(self._norm(path), None)
+
+    def rmtree(self, path: str) -> None:
+        p = self._norm(path)
+        for k in [k for k in self.files if k == p or k.startswith(p + "/")]:
+            del self.files[k]

@@ -105,21 +105,19 @@ def q_cdc_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines/base.go:506-537)."""
     ev = envelope(spark, sf_dir)
     win = lww_latest(ev, ["key"], "ev_offset")
-    n_events = ev.count()
-    agg = win.agg(
+    # One declarative plan, zero driver logic: two 1-row aggs
+    # cross-joined (the round-1 version ran two jobs + a collect +
+    # createDataFrame on the driver — an anti-pattern at any scale).
+    tot = ev.agg(F.count(F.lit(1)).alias("n_events"))
+    wagg = win.agg(
         F.count(F.lit(1)).alias("winners"),
         F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deleted"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [
-            (
-                n_events,
-                int(agg["winners"] - agg["deleted"]),
-                int(agg["deleted"]),
-                int(n_events - agg["winners"]),
-            )
-        ],
-        "n_events bigint, applied bigint, deleted bigint, deduped bigint",
+    )
+    return tot.crossJoin(wagg).select(
+        F.col("n_events"),
+        (F.col("winners") - F.col("deleted")).alias("applied"),
+        F.col("deleted"),
+        (F.col("n_events") - F.col("winners")).alias("deduped"),
     )
 
 
@@ -168,9 +166,8 @@ def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 17-case table at base_test.go:777-867). offset=100, size=5000,
     filter = non-delete events."""
     ev = envelope(spark, sf_dir).filter(F.col("op") != "delete")
-    total = ev.count()
-    return spark.createDataFrame(
-        [(int(min(max(total - 100, 0), 5000)),)], "n bigint"
+    return ev.agg(F.count(F.lit(1)).alias("c")).select(
+        F.least(F.greatest(F.col("c") - 100, F.lit(0)), F.lit(5000)).alias("n")
     )
 
 
@@ -315,6 +312,50 @@ SELECT event_id,
        value > 100 AS is_high,
        CAST(ts AS DATE) AS day,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+FROM events
+"""
+
+
+def q_type_coercion_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseGormFieldValue edge cases (datasources/base.go:610-712 and
+    the ~90-case table at base_test.go:2612-3140): int64 overflow →
+    NULL (try_cast), bytes round-trip (hex), JSON-in-string
+    auto-detection (invalid JSON → NULL, valid → extracted), bool from
+    string forms, uint64-scale integers via DECIMAL(20,0)."""
+    ev = _t(spark, sf_dir, "events")
+    maybe_json = F.when(F.col("event_id") % 3 == 0, F.col("props")).otherwise(
+        F.lit("not json")
+    )
+    bool_str = F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("0"))
+    return ev.select(
+        "event_id",
+        # overflow-aware cast: values past a safe int64 bound become
+        # NULL, not saturated garbage (Spark's non-ANSI cast clamps to
+        # Long.MAX; the explicit range guard gives reference semantics
+        # — base.go:645-658 errors on overflow — identically in both
+        # engines; floor first because Spark truncates double→long
+        # while DuckDB rounds)
+        F.when(
+            F.abs(F.col("value") * 1e17) <= 9.2e18,
+            F.floor(F.col("value") * 1e17).cast("bigint"),
+        ).alias("maybe_overflow"),
+        F.lower(F.hex(F.col("event_type"))).alias("type_hex"),
+        F.get_json_object(maybe_json, "$.k").alias("auto_json_k"),
+        bool_str.isin("true", "1").alias("bool_parsed"),
+        F.floor(F.col("value") * 100).cast("decimal(20,0)").alias("uint_cents"),
+    )
+
+
+SQL_TYPE_COERCION_EDGE = """
+SELECT event_id,
+       CASE WHEN ABS(value * 1e17) <= 9.2e18
+            THEN CAST(FLOOR(value * 1e17) AS BIGINT) ELSE NULL END AS maybe_overflow,
+       lower(hex(event_type)) AS type_hex,
+       CASE WHEN json_valid(CASE WHEN event_id % 3 = 0 THEN props ELSE 'not json' END)
+            THEN json_extract_string(CASE WHEN event_id % 3 = 0 THEN props ELSE 'not json' END, '$.k')
+            ELSE NULL END AS auto_json_k,
+       (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE '0' END) IN ('true', '1') AS bool_parsed,
+       CAST(FLOOR(value * 100) AS DECIMAL(20,0)) AS uint_cents
 FROM events
 """
 
@@ -619,43 +660,51 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible operators (rows-only driver check, no oracle):
-# MinHash/SimHash LSH near-dup, LSH-bucketed ANN, multimodal plumbing
+# similarity / ANN / multimodal — oracle-checked (round-2 redesign: every
+# emitted metric is SQL-computable; see operators/similarity.py docstring)
 # ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE: distinct word-3-gram sets per document, tokenized
+# identically to _ngram_col (lowercase, split on \s+, drop empties,
+# docs with <3 tokens have no shingles).
+GRAMS_CTE = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS gs
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+)
+"""
+
+def _sql_allpairs_jaccard(tau: float) -> str:
+    return GRAMS_CTE + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+             (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= {tau}
+"""
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-duplicate candidates over documents
-    (shingle→minhash→band→bucket-join; similarity.py)."""
-    from migrator_spark.operators.similarity import minhash_lsh_candidates
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        minhash_lsh_candidates(d, id_col="doc_id", text_col="text",
-                               num_hashes=64, bands=16)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    )
-
-
-def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (64-bit, 4-block pigeonhole LSH)."""
-    from migrator_spark.operators.similarity import simhash_near_dups
-
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
-
-
-def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard verification of the MinHash candidates —
-    the block-then-verify near-dup pipeline end-to-end."""
+    """Near-dup pairs: MinHash banded LSH candidates (shingle → minhash
+    → band → bucket-join, never all-pairs) verified by EXACT word-3gram
+    Jaccard ≥ 0.8. At 32 bands × 2 rows the LSH miss probability for
+    j ≥ 0.8 is ≤ 6e-15, so the output is hash-identical to the exact
+    all-pairs SQL oracle."""
     from migrator_spark.operators.similarity import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, num_hashes=64, bands=16).select("id_a", "id_b")
+    cand = minhash_lsh_candidates(
+        d, id_col="doc_id", text_col="text", num_hashes=64, bands=32, ngram=3
+    )
     return (
         ngram_jaccard_pairs(d, cand, n=3)
         .filter(F.col("jaccard") >= 0.8)
@@ -663,27 +712,154 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_MINHASH_LSH_DUPS = _sql_allpairs_jaccard(0.8)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (64-bit, 4-block pigeonhole LSH — recall 1
+    for hamming ≤ 2 < blocks, so output equals the all-pairs answer).
+    Token hash = first 8 bytes of sha256(token), which the DuckDB
+    oracle recomputes nibble-by-nibble from sha256 hex."""
+    from migrator_spark.operators.similarity import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(
+        d, max_hamming=2, blocks=4, min_tokens=5
+    ).orderBy("id_a", "id_b")
+
+
+SQL_SIMHASH_DUPS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ts
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ts) AS t FROM d WHERE len(ts) >= 5),
+bits AS (
+  SELECT doc_id, b AS bit,
+         ((strpos('0123456789abcdef', substr(sha256(t), 16 - CAST(FLOOR(b/4) AS INT), 1)) - 1)
+          // CAST(2 ** (b % 4) AS INT)) % 2 AS v
+  FROM toks, (SELECT unnest(range(0, 64)) AS b)
+),
+sh AS (
+  SELECT doc_id, bit, CASE WHEN SUM(2*v - 1) > 0 THEN 1 ELSE 0 END AS sb
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(SUM(CASE WHEN a.sb <> b.sb THEN 1 ELSE 0 END) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.bit = b.bit AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING SUM(CASE WHEN a.sb <> b.sb THEN 1 ELSE 0 END) <= 2
+"""
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs word-3gram Jaccard ≥ 0.7 via PPJoin-style prefix
+    filtering — recall 1 by construction (see
+    jaccard_prefix_filter_pairs), so this is the deterministic exact
+    scale path next to the probabilistic MinHash one."""
+    from migrator_spark.operators.similarity import jaccard_prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_filter_pairs(d, n=3, tau=0.7).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD_DUPS = _sql_allpairs_jaccard(0.7)
+
+
+ANN_NUM_BITS = 6  # 64 buckets; radius-1 probe reads 7/64 partitions
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbours of vec 0 (the
-    scale path; q_embedding_topk is the exact oracle-checked baseline)."""
-    from migrator_spark.operators.similarity import cosine_topk_lsh
+    """ANN top-10 neighbours of vec 0 over a PREBUILT hyperplane-LSH
+    index: vectors parquet-partitioned by bucket at ingest; the probe
+    reads only partitions within Hamming ≤ 1 of the query bucket
+    (partition pruning — never a full scan; ~10% of this corpus). The
+    planes are md5-derived constants, so the DuckDB oracle REPLICATES
+    the bucketing and pruning in SQL — the approximate semantics are
+    hash-checked end to end, not trusted."""
+    import hashlib
+    import tempfile
+
+    from migrator_spark.operators.similarity import ann_query, build_ann_index
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # bucket granularity sized to corpus: 2^6 buckets for ~500 vectors
-    # (at 10^9 vectors you'd raise num_bits so buckets stay ~thousands)
-    return cosine_topk_lsh(
-        e.filter(F.col("vec_id") != 0), qv, k=10, num_bits=6, probes=7
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "migrator-ann-idx-"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_ann_index(
+            e.filter(F.col("vec_id") != 0), idx, dim=len(qv), num_bits=ANN_NUM_BITS
+        )
+    return ann_query(spark, idx, qv, k=10, num_bits=ANN_NUM_BITS, hamming=1)
+
+
+def _sql_ann_lsh_topk() -> str:
+    """The oracle recomputes the hyperplane buckets from the SAME
+    md5-derived plane constants (emitted as literals) and applies the
+    same Hamming ≤ 1 prune before the exact cosine top-10."""
+    from migrator_spark.operators.similarity import deterministic_planes
+
+    P = deterministic_planes(64, ANN_NUM_BITS)
+    rows = ",".join(
+        f"({b}, [{','.join(repr(float(x)) for x in P[b])}]::DOUBLE[])"
+        for b in range(ANN_NUM_BITS)
+    )
+    return f"""
+WITH planes(b, pl) AS (VALUES {rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bk AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(emb, p.pl) > 0
+                       THEN CAST(2**p.b AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v, planes p GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+cand AS (
+  SELECT bk.vec_id FROM bk, qb
+  WHERE bk.vec_id <> 0 AND bit_count(xor(bk.bucket, qbucket)) <= 1
+)
+SELECT v.vec_id,
+       ROUND(list_dot_product(emb, qv) /
+             (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM v JOIN cand ON v.vec_id = cand.vec_id, q
+ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow mapInPandas decode/feature stage
-    (deterministic fake codec; real Spark plumbing)."""
+    with a REAL pure-numpy BMP codec. The corpus pixels follow the
+    closed form (doc_id*31 + i*7) mod 256, so DuckDB recomputes the
+    decoded mean without a decoder — the oracle checks decode
+    end-to-end (dimensions + pixel statistics)."""
     from migrator_spark.functions.multimodal import decode_image_features, make_media_table
 
     media = make_media_table(spark, n=64, width=16, height=16)
-    return decode_image_features(media).orderBy("doc_id")
+    return (
+        decode_image_features(media)
+        .select(
+            "doc_id", "width", "height", "channels",
+            F.round("mean_luma", 4).alias("mean_luma"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_MULTIMODAL_IMAGE_FEATURES = """
+SELECT d AS doc_id,
+       16 AS width, 16 AS height, 1 AS channels,
+       ROUND(AVG(CAST((d * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_luma
+FROM (SELECT unnest(range(0, 64)) AS d), (SELECT unnest(range(0, 256)) AS i)
+GROUP BY d
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -752,6 +928,7 @@ QUERIES = {
     "id_set_fetch": q_id_set_fetch,
     "flatten_json": q_flatten_json,
     "type_coercion": q_type_coercion,
+    "type_coercion_edge": q_type_coercion_edge,
     "parse_timestamps": q_parse_timestamps,
     "sha256_docs": q_sha256_docs,
     "normalize_sha_docs": q_normalize_sha_docs,
@@ -764,7 +941,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
-    # rows-only (non-SQL-expressible; no oracle entry)
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -785,6 +961,7 @@ ORACLES = {
     "id_set_fetch": SQL_ID_SET_FETCH,
     "flatten_json": SQL_FLATTEN_JSON,
     "type_coercion": SQL_TYPE_COERCION,
+    "type_coercion_edge": SQL_TYPE_COERCION_EDGE,
     "parse_timestamps": SQL_PARSE_TIMESTAMPS,
     "sha256_docs": SQL_SHA256_DOCS,
     "normalize_sha_docs": SQL_NORMALIZE_SHA_DOCS,
@@ -797,4 +974,9 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
+    "simhash_dups": SQL_SIMHASH_DUPS,
+    "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
 }

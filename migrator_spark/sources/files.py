@@ -80,21 +80,51 @@ def import_into_table(
     src_path: str,
     fmt: str = "csv",
     key_cols: list[str] | None = None,
-    id_start_offset: int = 0,
+    id_start_offset: int | None = None,
     schema: T.StructType | None = None,
 ) -> dict:
     """Reference ``Import``: load a file and upsert every row as an
-    insert envelope. Offsets are synthesized monotonically from row
-    order (deterministic: ordered by key columns)."""
+    insert envelope.
+
+    Offsets are synthesized DISTRIBUTED: per-partition row_number plus
+    cumulative partition base offsets (a global ``Window.orderBy``
+    funnels the whole import through one task — the classic
+    single-partition scale-killer; Spark even warns). Uniqueness is
+    guaranteed; ordering across partitions follows file/split order.
+
+    ``id_start_offset`` defaults to the table's ``last_offset + 1`` so
+    imported rows win LWW over existing ones (an import into a
+    non-empty table with offsets starting at 0 would silently lose
+    every conflict). The commit's batch_id is the table version, so a
+    re-import of a same-named file is NOT skipped as a replay —
+    repeated imports of identical content stay idempotent through LWW
+    full-row equality instead."""
     read, _ = FORMATS[fmt]
     df = read(spark, src_path, schema)
     table = LakeTable.load(spark, table_path)
     keys = key_cols or table.key_cols
-    w = F.row_number().over(Window.orderBy(*keys))
-    env = df.withColumn("offset", (w + F.lit(id_start_offset - 1)).cast("long")).withColumn(
-        "op", F.lit("insert")
+    start = table.manifest["last_offset"] + 1 if id_start_offset is None else id_start_offset
+    w = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    with_pid = df.withColumn("_pid", F.spark_partition_id())
+    # partition sizes → cumulative bases; tiny collect (one row per
+    # input split), broadcast back as a literal map
+    sizes = {r["_pid"]: r["n"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    bases, acc = [], start
+    for pid in sorted(sizes):
+        bases.append((pid, acc))
+        acc += sizes[pid]
+    base_df = spark.createDataFrame(bases or [(0, start)], "_pid int, _base long")
+    env = (
+        with_pid.join(F.broadcast(base_df), "_pid", "left")
+        .withColumn("offset", (F.col("_base") + w - F.lit(1)).cast("long"))
+        .drop("_pid", "_base")
+        .withColumn("op", F.lit("insert"))
     )
-    return table.merge(env, stream_id=f"import-{os.path.basename(src_path)}", batch_id=0)
+    return table.merge(
+        env,
+        stream_id=f"import-{os.path.basename(src_path)}",
+        batch_id=table.manifest["version"],
+    )
 
 
 def export_table(

@@ -56,11 +56,20 @@ class StateStore:
         os.replace(tmp, p)
 
     def update(self, pipeline_id: str, **fields) -> dict:
-        st = self.get(pipeline_id)
-        st.update(fields)
-        st["updated_at"] = time.time()
-        self.set(pipeline_id, st)
-        return st
+        """Atomic read-modify-write: a short flock serializes concurrent
+        updaters (a backfill and a stream sharing one pipeline_id would
+        otherwise interleave get/set and lose counter increments)."""
+        lock_path = self._path(pipeline_id) + ".updlock"
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            st = self.get(pipeline_id)
+            st.update(fields)
+            st["updated_at"] = time.time()
+            self.set(pipeline_id, st)
+            return st
+        finally:
+            os.close(fd)  # releases the flock
 
     def delete(self, pipeline_id: str) -> None:
         p = self._path(pipeline_id)

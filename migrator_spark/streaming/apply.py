@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.lifecycle import LifecycleCallbacks, attach_stop_listener
 from migrator_spark.plans.laketable import LakeTable
 from migrator_spark.schema import ENVELOPE_SCHEMA
 from migrator_spark.state import StateStore
@@ -41,15 +42,15 @@ def make_apply_batch(
     on_progress: Callable[[dict], None] | None = None,
     on_error: Callable[[BaseException], None] | None = None,
     compact_threshold: int | None = 8,
+    callbacks: LifecycleCallbacks | None = None,
 ):
     """Build the foreachBatch body. The table is re-loaded per batch
     (cheap manifest read) so concurrent readers/compaction see a
     consistent snapshot chain.
 
-    ``on_progress``/``on_error`` are the reference's lifecycle
-    callbacks (OnReplicationProgress/OnReplicationError,
-    pipelines/base.go:38-54) — invoked with the lineage record after
-    each committed batch / with the exception on failure."""
+    ``callbacks`` carries the reference's full lifecycle hook set
+    (pipelines/base.go:38-54); ``on_progress``/``on_error`` remain as
+    shorthand for the two per-batch hooks."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -63,6 +64,8 @@ def make_apply_batch(
         except BaseException as e:
             if on_error is not None:
                 on_error(e)
+            if callbacks is not None:
+                callbacks.fire("replication_error", e)
             raise
         elapsed = time.monotonic() - t0
         record = {
@@ -74,6 +77,8 @@ def make_apply_batch(
             metrics.append({**record, "per_bucket": lineage.get("per_bucket")})
         if on_progress is not None:
             on_progress(record)
+        if callbacks is not None:
+            callbacks.fire("replication_progress", record)
         if state is not None and pipeline_id is not None and not lineage.get("skipped"):
             st = state.get(pipeline_id)
             tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
@@ -106,6 +111,7 @@ def start_stream(
     pipeline_id: str | None = None,
     metrics: list | None = None,
     compact_threshold: int | None = 8,
+    callbacks: LifecycleCallbacks | None = None,
 ) -> StreamingQuery:
     """Tail the ordered event log and apply it to the table.
 
@@ -113,7 +119,12 @@ def start_stream(
     ``BatchSize`` knob; ``processing_time`` its ``BatchWindowSeconds``
     (README.md:128-129). ``available_now=True`` drains everything
     currently in the log then stops — the graceful-drain semantics of
-    base.go:532-560 and the mode used by tests/backfill."""
+    base.go:532-560 and the mode used by tests/backfill.
+
+    Lifecycle: ``replication_start`` fires when the query starts,
+    ``replication_progress``/``replication_error`` per micro-batch,
+    and ``replication_stopped`` on query termination (listener-driven,
+    so it also fires for drain completion and failures)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -128,13 +139,20 @@ def start_stream(
             pipeline_id=pipeline_id,
             metrics=metrics,
             compact_threshold=compact_threshold,
+            callbacks=callbacks,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_time:
         writer = writer.trigger(processingTime=_normalize_interval(processing_time))
-    return writer.start()
+    query = writer.start()
+    if callbacks is not None:
+        payload = {"pipeline_id": pipeline_id, "phase": "replication",
+                   "stream_id": stream_id, "query_id": str(query.id)}
+        callbacks.fire("replication_start", payload)
+        attach_stop_listener(spark, query, callbacks, payload)
+    return query
 
 
 def _normalize_interval(v: str) -> str:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from migrator_spark.functions.transforms import default_cdc_transform
+from migrator_spark.lifecycle import LifecycleCallbacks
 from migrator_spark.plans.laketable import LakeTable
 from migrator_spark.schema import ENVELOPE_SCHEMA
 from migrator_spark.state import StateStore
@@ -40,26 +41,37 @@ def run_backfill(
     salt_buckets: int = 32,
     schema=ENVELOPE_SCHEMA,
     compact_threshold: int | None = 8,
+    callbacks: LifecycleCallbacks | None = None,
 ) -> dict:
     """Apply the log slice [start_offset, start_offset + max_size) to
     the table in ``batch_size``-event MERGE commits (one commit when
-    ``batch_size`` is None). Returns the final state doc."""
+    ``batch_size`` is None). Returns the final state doc.
+
+    Lifecycle (mirrors OnMigrationStart/Progress/Error/Stopped,
+    pipelines/base.go:38-54): ``migration_start`` after the duplicate-
+    run lock is held, ``migration_progress`` per committed chunk,
+    ``migration_error`` + raise on failure, ``migration_stopped`` with
+    the final state doc on completion (including the empty-source
+    short-circuit)."""
     with state.run_lock(pipeline_id, "migration"):
         return _run_backfill_locked(
             spark, log_dir, table_path, state, pipeline_id, start_offset,
             max_size, batch_size, transform, salt_buckets, schema,
-            compact_threshold,
+            compact_threshold, callbacks or LifecycleCallbacks(),
         )
 
 
 def _run_backfill_locked(
     spark, log_dir, table_path, state, pipeline_id, start_offset,
     max_size, batch_size, transform, salt_buckets, schema,
-    compact_threshold=8,
+    compact_threshold=8, callbacks: LifecycleCallbacks | None = None,
 ) -> dict:
+    cb = callbacks or LifecycleCallbacks()
     saved = state.get(pipeline_id).get("migration_offset", 0)
     effective_start = max(saved, start_offset)  # pipelines/base.go:380-392
     state.update(pipeline_id, migration_status="starting", migration_offset=effective_start)
+    cb.fire("migration_start", {"pipeline_id": pipeline_id, "phase": "migration",
+                                "start_offset": effective_start})
 
     events = spark.read.schema(schema).parquet(f"{log_dir}/events-*.parquet")
     window = events.filter(F.col("offset") >= effective_start)
@@ -72,7 +84,9 @@ def _run_backfill_locked(
     total = bounds["n"]
     if total == 0:  # pipelines/base.go:433-444
         state.update(pipeline_id, migration_status="stopped", migration_issue="empty source")
-        return state.get(pipeline_id)
+        final = state.get(pipeline_id)
+        cb.fire("migration_stopped", {"pipeline_id": pipeline_id, "phase": "migration", **final})
+        return final
 
     state.update(pipeline_id, migration_status="in_progress", migration_estimate=total)
     t0 = time.monotonic()
@@ -107,13 +121,17 @@ def _run_backfill_locked(
                 + (lineage["totals"]["events"] if not lineage.get("skipped") else 0),
                 lineage=tot,
             )
+            cb.fire("migration_progress", {k: v for k, v in lineage.items() if k != "per_bucket"})
     except Exception as e:  # mirror status=failed + issue text (base.go:123-140)
         state.update(pipeline_id, migration_status="failed", migration_issue=str(e))
+        cb.fire("migration_error", e)
         raise
     elapsed = time.monotonic() - t0
-    return state.update(
+    final = state.update(
         pipeline_id,
         migration_status="completed",
         migration_sec=elapsed,
         migration_events_per_sec=total / elapsed if elapsed > 0 else None,
     )
+    cb.fire("migration_stopped", {"pipeline_id": pipeline_id, "phase": "migration", **final})
+    return final

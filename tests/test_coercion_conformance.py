@@ -1,0 +1,93 @@
+"""Typed-coercion conformance cases mirroring the reference's
+ParseGormFieldValue table (datasources/base_test.go:2612-3140 and
+base.go:610-712): bool string forms, int truncation, overflow
+handling, bytes round-trip, JSON-in-string auto-detection, uint64-
+scale integers, and the three timestamp layouts."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    rows = [
+        # (id, raw_string, num_double)
+        (0, "true", 1.9),
+        (1, "1", -1.9),
+        (2, "false", 9.3e18),      # past int64 max
+        (3, "0", -9.3e18),         # past int64 min
+        (4, '{"k": 7, "nested": {"x": 1}}', 0.0),
+        (5, "not json at all", 123.456),
+        (6, "TRUE", 2.0**53),      # exactly representable large double
+        (7, "", 18446744073709.5),  # uint64-ish scale / 1e6
+    ]
+    return spark.createDataFrame(rows, "id long, s string, x double")
+
+
+def test_bool_string_forms(spark, vals):
+    got = {r["id"]: r["b"] for r in vals.select(
+        "id", F.lower("s").isin("true", "1").alias("b")).collect()}
+    assert got[0] is True and got[1] is True and got[6] is True
+    assert got[2] is False and got[3] is False and got[5] is False
+
+
+def test_int_truncation_and_overflow_guard(spark, vals):
+    guarded = F.when(F.abs(F.col("x")) <= 9.2e18, F.floor("x").cast("bigint"))
+    got = {r["id"]: r["i"] for r in vals.select("id", guarded.alias("i")).collect()}
+    assert got[0] == 1 and got[1] == -2  # floor, not round/truncate-toward-zero
+    assert got[2] is None and got[3] is None  # overflow → NULL, not clamp
+    assert got[6] == 2**53
+    assert got[5] == 123
+
+
+def test_bytes_roundtrip_hex(spark, vals):
+    """[]byte handling: string → bytes → hex → unhex → string is
+    lossless (reference stores []byte through base64/hex paths)."""
+    out = vals.select(
+        "id", F.decode(F.unhex(F.hex(F.col("s"))), "utf-8").alias("back")
+    ).collect()
+    for r in out:
+        src = {0: "true", 1: "1", 2: "false", 3: "0",
+               4: '{"k": 7, "nested": {"x": 1}}', 5: "not json at all",
+               6: "TRUE", 7: ""}[r["id"]]
+        assert r["back"] == src
+
+
+def test_json_in_string_autodetect(spark, vals):
+    """base.go:620-638: a string field whose value parses as JSON is
+    auto-expanded; a non-JSON string stays opaque (NULL extraction)."""
+    got = {r["id"]: (r["k"], r["nx"]) for r in vals.select(
+        "id",
+        F.get_json_object("s", "$.k").alias("k"),
+        F.get_json_object("s", "$.nested.x").alias("nx"),
+    ).collect()}
+    assert got[4] == ("7", "1")
+    assert got[5] == (None, None)
+    assert got[0] == (None, None)
+
+
+def test_uint64_scale_decimal(spark, vals):
+    """Values past int64 still round-trip exactly via DECIMAL(38,0)
+    (the reference's uint64 lane)."""
+    big = spark.createDataFrame([("18446744073709551615",)], "u string")
+    got = big.select(F.col("u").cast("decimal(38,0)").alias("d")).first()["d"]
+    assert str(got) == "18446744073709551615"  # > int64 max, exact
+
+
+def test_timestamp_three_layouts(spark):
+    """RFC3339, RFC3339Nano, postgres '+00' (base.go:659-668)."""
+    df = spark.createDataFrame(
+        [("2024-03-05T06:07:08Z",
+          "2024-03-05T06:07:08.123456Z",
+          "2024-03-05 06:07:08.123456+00")],
+        "a string, b string, c string",
+    )
+    row = df.select(
+        F.to_timestamp("a", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("pa"),
+        F.to_timestamp("b", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("pb"),
+        F.to_timestamp("c", "yyyy-MM-dd HH:mm:ss.SSSSSS'+00'").alias("pc"),
+    ).first()
+    assert row["pa"].isoformat().startswith("2024-03-05T06:07:08")
+    assert row["pb"].microsecond == 123456
+    assert row["pc"].microsecond == 123456

@@ -1,0 +1,103 @@
+"""Round-2 LakeTable behaviors: estimated count, offset-uniqueness
+validation, broadcast-vs-shuffle winner-join enforcement, vacuum on
+the commit-dir layout."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+def test_estimated_vs_accurate_count(spark, tmp_path):
+    """mongo.go:177-221 split: estimate answers O(1) from the manifest
+    (an upper bound under merge-on-read), accurate scans; they agree
+    after compaction resolves the delta chains."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x"), (1, "insert", "r", "b", "y")]))
+    assert t.count() == 2
+    assert t.count(estimate=True) == 2
+    # update the same keys: delta chain holds superseded versions
+    t.merge(_env(spark, [(2, "update", "r", "a", "x2"), (3, "update", "r", "b", "y2")]),
+            compact_threshold=None)
+    assert t.count() == 2                      # accurate: LWW-resolved
+    assert t.count(estimate=True) == 4         # estimate: stored rows (upper bound)
+    t.compact()
+    assert t.count(estimate=True) == 2         # compaction tightens it
+    assert t.count() == 2
+    # bucket-pruned accurate count sums to the total
+    total = sum(t.count(buckets=[b]) for b in range(4))
+    assert total == 2
+
+
+def test_validate_offsets_rejects_duplicates(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    dup = _env(spark, [(7, "insert", "r", "a", "x"), (7, "insert", "r", "b", "y")])
+    with pytest.raises(ValueError, match="offset-uniqueness"):
+        t.merge(dup, validate_offsets=True)
+    # without validation the merge proceeds (documented contract) and
+    # read-side LWW still yields one row per key
+    t.merge(dup)
+    assert t.refresh().count() == 2
+
+
+def test_winner_join_fallback_past_broadcast_limit(spark, tmp_path):
+    """broadcast_winner_limit is enforced: a limit smaller than the
+    winner count must take the shuffle-join branch and still produce
+    the exact same table state."""
+    rows = [(i, "insert", f"r{i % 5}", f"p{i}", f"c{i}") for i in range(100)]
+    ta = LakeTable.create(spark, str(tmp_path / "a"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    ta.merge(_env(spark, rows), broadcast_winner_limit=3)  # forces shuffle join
+    tb = LakeTable.create(spark, str(tmp_path / "b"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    tb.merge(_env(spark, rows))  # broadcast path
+    a = {(r["repo"], r["path"], r["content"]) for r in ta.read().collect()}
+    b = {(r["repo"], r["path"], r["content"]) for r in tb.read().collect()}
+    assert a == b and len(a) == 100
+
+
+def test_winner_estimate_reused_across_batches(spark, tmp_path):
+    """Steady state: the second merge reuses the manifest's
+    last_winners estimate (no count job) and stays correct."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0)
+    assert t.manifest["last_winners"] == 1
+    t.merge(_env(spark, [(1, "update", "r", "a", "x2"), (2, "insert", "r", "b", "y")]),
+            stream_id="s", batch_id=1)
+    assert t.manifest["last_winners"] == 2
+    assert t.count() == 2
+
+
+def test_expire_snapshots_commit_dir_layout(spark, tmp_path):
+    """Vacuum removes unreferenced data files and empty commit dirs
+    under the data/commit-v*/ layout."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=2)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), compact_threshold=None)
+    t.merge(_env(spark, [(1, "update", "r", "a", "y")]), compact_threshold=None)
+    t.compact()  # rewrites -> old commit dirs become garbage
+    removed = t.expire_snapshots(keep=1)
+    assert removed > 0
+    assert t.refresh().count() == 1
+    assert t.read().first()["content"] == "y"
+    # all remaining files are referenced by the head manifest
+    live = {f for fl in t.manifest["buckets"].values() for f in fl}
+    on_disk = set()
+    for root, _dirs, files in os.walk(str(tmp_path / "t" / "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, f), str(tmp_path / "t")))
+    assert on_disk == live

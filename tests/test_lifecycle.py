@@ -1,0 +1,85 @@
+"""Lifecycle callback conformance: the full 8-hook set of the
+reference (pipelines/base.go:38-54) fires in order on both phases."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from migrator_spark.gen import generate_event_log
+from migrator_spark.lifecycle import LifecycleCallbacks
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+from migrator_spark.state import StateStore
+from migrator_spark.streaming.apply import start_stream
+from migrator_spark.streaming.backfill import run_backfill
+
+import pyspark.sql.types as T
+
+
+def _mk_table(spark, path):
+    payload = T.StructType(
+        PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+    )
+    return LakeTable.create(spark, path, payload, KEY_COLS, num_buckets=4)
+
+
+def test_backfill_fires_migration_hooks_in_order(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_event_log(log, num_events=600, num_keys=50, seed=3, num_files=2)
+    _mk_table(spark, str(tmp_path / "tbl"))
+    cb = LifecycleCallbacks()
+    seen = {}
+    cb.on_migration_start = lambda p: seen.setdefault("start", p)
+    cb.on_migration_progress = lambda rec: seen.setdefault("progress", rec)
+    cb.on_migration_stopped = lambda p: seen.setdefault("stopped", p)
+    run_backfill(
+        spark, log, str(tmp_path / "tbl"), StateStore(str(tmp_path / "st")),
+        "pipe-1", batch_size=300, callbacks=cb,
+    )
+    assert cb.fired[0] == "migration_start"
+    assert cb.fired[-1] == "migration_stopped"
+    assert cb.fired.count("migration_progress") == 2  # 600 events / 300
+    assert seen["start"]["phase"] == "migration"
+    assert seen["stopped"]["migration_status"] == "completed"
+    assert "migration_error" not in cb.fired
+
+
+def test_backfill_error_hook(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_event_log(log, num_events=100, num_keys=10, seed=4, num_files=1)
+    _mk_table(spark, str(tmp_path / "tbl"))
+    cb = LifecycleCallbacks()
+
+    def boom(df):
+        raise RuntimeError("transform exploded")
+
+    try:
+        run_backfill(
+            spark, log, str(tmp_path / "tbl"), StateStore(str(tmp_path / "st")),
+            "pipe-err", transform=boom, callbacks=cb,
+        )
+    except Exception:
+        pass
+    assert "migration_error" in cb.fired
+    assert "migration_stopped" not in cb.fired  # failed, not stopped
+
+
+def test_stream_fires_replication_hooks(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_event_log(log, num_events=400, num_keys=40, seed=5, num_files=2)
+    _mk_table(spark, str(tmp_path / "tbl"))
+    cb = LifecycleCallbacks()
+    q = start_stream(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ck"),
+        available_now=True, callbacks=cb,
+    )
+    q.awaitTermination(60)
+    # stopped fires via the async listener bus — wait for it
+    deadline = time.time() + 30
+    while "replication_stopped" not in cb.fired and time.time() < deadline:
+        time.sleep(0.2)
+    assert cb.fired[0] == "replication_start"
+    assert "replication_progress" in cb.fired
+    assert "replication_stopped" in cb.fired
+    assert cb.fired.index("replication_start") < cb.fired.index("replication_progress")
+    assert "replication_error" not in cb.fired

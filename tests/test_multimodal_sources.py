@@ -1,19 +1,28 @@
-"""Multimodal plumbing (fake decode, real Spark mechanics) and file
-import/export round-trips (reference Test_Import_CSV/Parquet and
+"""Multimodal codecs (REAL pure-numpy BMP/WAV/raw-video decode) and
+file import/export round-trips (reference Test_Import_CSV/Parquet and
 Test_Export_CSV/Parquet, datasources/base_test.go:947-1310)."""
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from migrator_spark.functions.multimodal import (
+    decode_audio_features,
+    decode_bmp,
     decode_image_features,
-    fake_image_bytes,
+    decode_wav,
+    encode_bmp_gray8,
+    encode_wav_pcm16,
+    make_audio_table,
     make_media_table,
+    make_video_table,
     resize_images,
     sample_video_frames,
+    synthetic_bmp,
+    synthetic_wav,
 )
 from migrator_spark.plans.laketable import LakeTable
 from migrator_spark.sources.files import (
@@ -24,31 +33,73 @@ from migrator_spark.sources.files import (
 )
 
 
+def test_bmp_roundtrip_exact():
+    px = np.arange(8 * 6, dtype=np.uint8).reshape(6, 8)
+    data = encode_bmp_gray8(px)
+    w, h, ch, back = decode_bmp(data)
+    assert (w, h, ch) == (8, 6, 1)
+    assert np.array_equal(back, px)
+
+
+def test_wav_roundtrip_exact():
+    s = (np.arange(100) * 37 % 2001 - 1000).astype(np.int16)
+    rate, back = decode_wav(encode_wav_pcm16(s, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
 def test_image_decode_features(spark):
     media = make_media_table(spark, n=16, width=8, height=6)
     feats = {r["doc_id"]: r for r in decode_image_features(media).collect()}
     assert len(feats) == 16
     assert feats[3]["width"] == 8 and feats[3]["height"] == 6
-    expected = hashlib.sha256(fake_image_bytes(3, 8, 6)).hexdigest()
+    expected = hashlib.sha256(synthetic_bmp(3, 8, 6)).hexdigest()
     assert feats[3]["bytes_sha256"] == expected
-    assert 0 <= feats[3]["mean_luma"] <= 255
+    # closed-form mean: pixels are (doc_id*31 + i*7) % 256
+    i = np.arange(8 * 6)
+    assert feats[3]["mean_luma"] == pytest.approx(((3 * 31 + i * 7) % 256).mean())
 
 
-def test_image_resize_and_video_sampling(spark):
+def test_audio_decode_features(spark):
+    media = make_audio_table(spark, n=8, n_samples=256)
+    feats = {r["doc_id"]: r for r in decode_audio_features(media).collect()}
+    assert len(feats) == 8
+    i = np.arange(256)
+    expected = np.abs((2 * 13 + i * 5) % 2001 - 1000).mean()
+    assert feats[2]["mean_abs"] == pytest.approx(expected)
+    assert feats[2]["sample_rate"] == 16_000
+    assert feats[2]["duration_sec"] == pytest.approx(256 / 16_000)
+
+
+def test_image_resize_real(spark):
     media = make_media_table(spark, n=4, width=16, height=16)
-    resized = resize_images(media, target=4).collect()
-    for r in resized:
-        assert int.from_bytes(r["data"][:4], "big") == 4
-    # treat byte[0:4] as frame count for the fake video
-    frames = sample_video_frames(media, every_n=2).collect()
-    assert len(frames) > 0
-    assert all(f["frame_sha256"] is not None for f in frames)
+    resized = {r["doc_id"]: bytes(r["data"]) for r in resize_images(media, target=4).collect()}
+    for doc_id, data in resized.items():
+        w, h, ch, px = decode_bmp(data)
+        assert (w, h) == (4, 4)
+        # nearest-neighbour: resized pixel (y,x) = source (y*4, x*4)
+        _, _, _, src = decode_bmp(synthetic_bmp(doc_id, 16, 16))
+        assert np.array_equal(px, src[::4, ::4])
 
 
-def test_real_decode_is_marked_not_implemented(spark):
-    media = make_media_table(spark, n=2, width=4, height=4)
+def test_video_frame_sampling(spark):
+    media = make_video_table(spark, n=2, n_frames=90, width=8, height=8)
+    frames = sample_video_frames(media, every_n=30).collect()
+    # 90 frames / every 30 → 3 rows per video, 1→N expansion
+    assert len(frames) == 2 * 3
+    assert {f["frame_idx"] for f in frames} == {0, 30, 60}
+    i = np.arange(64)
+    f30 = next(f for f in frames if f["doc_id"] == 1 and f["frame_idx"] == 30)
+    assert f30["frame_mean"] == pytest.approx(((1 * 31 + 30 * 11 + i * 7) % 256).mean())
+
+
+def test_compressed_codecs_are_marked_seams(spark):
+    media = spark.createDataFrame(
+        [(0, "image", "image/png", b"\x89PNG\r\n....")],
+        "doc_id long, kind string, mime string, data binary",
+    )
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        decode_image_features(media, fake=False).collect()
+        decode_image_features(media).collect()
 
 
 def test_csv_import_export_roundtrip(spark, tmp_path):
@@ -73,8 +124,10 @@ def test_csv_import_export_roundtrip(spark, tmp_path):
     assert res["totals"]["applied"] == 2
     table = LakeTable.load(spark, tdir)
     assert table.count() == 2
-    # re-import is idempotent at the key level (upsert, not append)
-    import_into_table(spark, tdir, src, fmt="csv")
+    # re-import is idempotent at the key level (upsert, not append),
+    # and is NOT skipped as a batch replay (batch_id = table version)
+    res2 = import_into_table(spark, tdir, src, fmt="csv")
+    assert not res2.get("skipped")
     assert table.refresh().count() == 2
 
     out = str(tmp_path / "out.csv")
@@ -83,6 +136,60 @@ def test_csv_import_export_roundtrip(spark, tmp_path):
     back = read_csv(spark, out)
     assert back.count() == 2
     assert back.schema["commit"].dataType == T.StringType()  # CSV is untyped
+
+
+def test_import_offsets_beat_existing_rows(spark, tmp_path):
+    """ADVICE fix: importing into a NON-EMPTY table must win LWW over
+    existing rows (offsets start at last_offset+1, not 0)."""
+    tdir = str(tmp_path / "table")
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=4)
+    env = spark.createDataFrame(
+        [(100, "insert", "r", "a", "old")],
+        "offset long, op string, repo string, path string, content string",
+    )
+    LakeTable.load(spark, tdir).merge(env)
+    src = str(tmp_path / "in.csv")
+    spark.createDataFrame(
+        [("r", "a", "new")], "repo string, path string, content string"
+    ).coalesce(1).write.option("header", "true").csv(src)
+    import_into_table(spark, tdir, src, fmt="csv")
+    rows = {r["path"]: r["content"] for r in LakeTable.load(spark, tdir).read().collect()}
+    assert rows["a"] == "new"  # import won LWW
+
+
+def test_import_distributed_offsets_unique(spark, tmp_path):
+    """Offsets synthesized per-partition must be unique across an
+    import spanning many input splits (no global-sort single task)."""
+    src = str(tmp_path / "big.csv")
+    spark.range(0, 5000).select(
+        F.concat(F.lit("repo-"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+    ).repartition(8).write.option("header", "true").csv(src)
+    tdir = str(tmp_path / "table")
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=8)
+    res = import_into_table(spark, tdir, src, fmt="csv")
+    assert res["totals"]["applied"] == 5000
+    assert res["totals"]["deduped"] == 0  # unique offsets, unique keys
+    table = LakeTable.load(spark, tdir)
+    assert table.count() == 5000
+    offs = table.read().select("_last_offset").collect()
+    vals = [r[0] for r in offs]
+    assert len(set(vals)) == 5000  # offset uniqueness
 
 
 def test_parquet_export_roundtrip(spark, tmp_path):

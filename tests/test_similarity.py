@@ -1,5 +1,6 @@
 """Near-dup detection + ANN operators: correctness of the LSH
-blocking (recall on planted near-dups, no false exact-dup misses) and
+blocking (recall on planted near-dups, no false exact-dup misses),
+exactness of the prefix-filter join, degenerate-bucket caps, and
 agreement of the ANN variants with the brute-force baseline."""
 
 import numpy as np
@@ -7,10 +8,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from migrator_spark.operators.similarity import (
+    build_ann_index,
+    ann_query,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    deterministic_planes,
+    jaccard_prefix_filter_pairs,
+    lsh_bucket_expr,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    query_bucket,
     simhash_near_dups,
 )
 
@@ -39,26 +46,47 @@ def docs(spark):
     # planted near-dups of doc 0: tiny edits
     rows.append((100, BASE.replace("total = 0", "total = 1")))
     rows.append((101, BASE + "# trailing comment\n"))
-    # exact dup of doc 5, and a one-token edit of it (simhash target:
-    # simhash distance tracks token-set change, needs longer docs)
+    # exact dup of doc 5, and a one-token edit of it
     rows.append((105, DOC5))
     rows.append((106, DOC5.replace("unique five", "unique cinq")))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
 def test_minhash_lsh_finds_planted_dups(spark, docs):
-    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
-             for r in minhash_lsh_candidates(docs, num_hashes=64, bands=16).collect()}
+    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=32)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, cand, n=3).collect()}
     assert (0, 100) in pairs and pairs[(0, 100)] > 0.5
     assert (0, 101) in pairs and pairs[(0, 101)] > 0.5
     assert (5, 105) in pairs and pairs[(5, 105)] == 1.0
     # distinct docs should not flood the candidate set
-    assert len(pairs) < 60
+    assert len(pairs) < 80
+
+
+def test_prefix_filter_exact_vs_bruteforce(spark, docs):
+    """The prefix-filter join must equal brute-force all-pairs exact
+    Jaccard — recall 1 is a theorem, verify it holds in code."""
+    tau = 0.5
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_prefix_filter_pairs(docs, n=3, tau=tau).collect()}
+    ids = docs.select("doc_id").rdd.map(lambda r: r[0]).collect()
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, all_pairs, n=3).collect()
+        if r["jaccard"] is not None and r["jaccard"] >= tau
+    }
+    assert got == brute
+    assert (5, 105) in got
 
 
 def test_simhash_near_dups(spark, docs):
+    # one-token edit of a ~40-token doc lands at hamming 7 with the
+    # sha256-prefix hash family; unrelated docs sit at ~28
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-           simhash_near_dups(docs, max_hamming=6).collect()}
+           simhash_near_dups(docs, max_hamming=8, blocks=16).collect()}
     assert (5, 105) in got and got[(5, 105)] == 0
     assert (5, 106) in got  # one-token edit → tiny hamming distance
     assert (105, 106) in got
@@ -66,15 +94,28 @@ def test_simhash_near_dups(spark, docs):
     assert (6, 7) not in got
 
 
-def test_ngram_jaccard_verification(spark, docs):
-    cand = spark.createDataFrame(
-        [(0, 100), (0, 101), (5, 105), (6, 7)], "id_a long, id_b long"
-    )
-    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
-           ngram_jaccard_pairs(docs, cand, n=3).collect()}
-    assert got[(5, 105)] == 1.0
-    assert got[(0, 100)] > 0.5
-    assert got[(6, 7)] < 0.2  # distinct docs
+def test_simhash_min_tokens_guard(spark):
+    """Docs below min_tokens are excluded (degenerate near-empty docs
+    would otherwise all pair with each other)."""
+    rows = [(i, "tiny doc") for i in range(20)] + [
+        (100, "a genuinely long document with many distinct tokens " + _distinct_doc(1)),
+        (101, "a genuinely long document with many distinct tokens " + _distinct_doc(1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_near_dups(df, max_hamming=2, min_tokens=5).collect()
+    ids = {x for r in got for x in (r["id_a"], r["id_b"])}
+    assert ids == {100, 101}  # the 20 tiny docs produced zero pairs
+
+
+def test_bucket_cap_prevents_quadratic_blowup(spark):
+    """A boilerplate corpus (identical docs) blows past the bucket cap
+    and is dropped instead of going O(n²)."""
+    rows = [(i, "the same boilerplate header text repeated everywhere ok") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_candidates(df, max_bucket_size=10)
+    assert capped.count() == 0  # dropped, not 50*49/2 pairs
+    uncapped = minhash_lsh_candidates(df, max_bucket_size=None)
+    assert uncapped.count() == 50 * 49 // 2
 
 
 @pytest.fixture(scope="module")
@@ -99,3 +140,28 @@ def test_ann_lsh_matches_bruteforce_top1(spark, vectors):
     for r in lsh:
         if r["vec_id"] in bs:
             assert abs(r["cos_sim"] - bs[r["vec_id"]]) < 1e-6
+
+
+def test_ann_index_prunes_partitions(spark, vectors, tmp_path):
+    """The prebuilt index must (a) return each probed bucket's true
+    members, (b) actually prune: the probe plan reads fewer files than
+    the index holds."""
+    idx = str(tmp_path / "annidx")
+    build_ann_index(vectors, idx, dim=16, num_bits=4)
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 16)
+    qv = (base[3] + rng.randn(16) * 0.01).tolist()
+    res = ann_query(spark, idx, qv, k=5, num_bits=4, hamming=1)
+    rows = res.collect()
+    assert rows and rows[0]["vec_id"] == 3
+    # pruning evidence: candidate set < full corpus
+    planes = deterministic_planes(16, 4)
+    qb = query_bucket(qv, planes)
+    probed = {qb} | {qb ^ (1 << i) for i in range(4)}
+    full = spark.read.parquet(idx)
+    n_probed = full.filter(F.col("_lsh").isin(list(probed))).count()
+    assert 0 < n_probed < full.count()
+    # spark-side buckets equal the driver-side fold for every vector
+    got = {r["vec_id"]: r["_lsh"] for r in full.select("vec_id", "_lsh").collect()}
+    for r in vectors.collect():
+        assert got[r["vec_id"]] == query_bucket(list(r["embedding"]), planes)

@@ -1,0 +1,85 @@
+"""The TableIO seam: the commit protocol (snapshot/HEAD/lineage writes,
+listing, promotion rename, vacuum) must run against any TableIO —
+proven here with the in-memory fake, no Spark, no disk."""
+
+import json
+
+from migrator_spark.plans.tableio import LocalTableIO, MemTableIO
+
+
+def _commit_protocol(io, root):
+    """A miniature of LakeTable's metadata plane: write snapshot v1,
+    flip HEAD, promote a staged commit dir, list it back, vacuum."""
+    io.makedirs(f"{root}/snapshots")
+    io.write_json_atomic(f"{root}/snapshots/v00000001.json", {"version": 1, "buckets": {}})
+    io.write_text_atomic(f"{root}/HEAD", "1")
+    # stage two files, promote with ONE rename
+    io.write_text_atomic(f"{root}/_staging-x/_bucket=3/part-0.parquet", "P0")
+    io.write_text_atomic(f"{root}/_staging-x/_bucket=7/part-0.parquet", "P1")
+    io.rename(f"{root}/_staging-x", f"{root}/data/commit-v00000002")
+    buckets = {}
+    cdir = f"{root}/data/commit-v00000002"
+    for bdir in io.glob(cdir, "_bucket=*"):
+        b = int(bdir.split("=")[1])
+        buckets[str(b)] = [
+            f"data/commit-v00000002/{bdir}/{n}" for n in io.glob(f"{cdir}/{bdir}", "*.parquet")
+        ]
+    io.write_json_atomic(
+        f"{root}/snapshots/v00000002.json", {"version": 2, "buckets": buckets}
+    )
+    io.write_text_atomic(f"{root}/HEAD", "2")
+    return buckets
+
+
+def test_mem_io_runs_commit_protocol():
+    io = MemTableIO()
+    buckets = _commit_protocol(io, "/t")
+    assert set(buckets) == {"3", "7"}
+    assert io.read_text("/t/HEAD") == "2"
+    m = io.read_json("/t/snapshots/v00000002.json")
+    assert m["buckets"]["3"] == ["data/commit-v00000002/_bucket=3/part-0.parquet"]
+    # staged path is gone after the rename
+    assert not io.exists("/t/_staging-x")
+    # promoted file content moved intact
+    assert io.read_text("/t/data/commit-v00000002/_bucket=3/part-0.parquet") == "P0"
+    # vacuum: drop v1
+    io.remove("/t/snapshots/v00000001.json")
+    assert io.glob("/t/snapshots", "v*.json") == ["v00000002.json"]
+
+
+def test_local_io_matches_mem_io(tmp_path):
+    """Same protocol, same observable results, on the POSIX impl."""
+    lio, mio = LocalTableIO(), MemTableIO()
+    b1 = _commit_protocol(lio, str(tmp_path / "t"))
+    b2 = _commit_protocol(mio, "/t")
+    assert b1 == b2
+    assert lio.read_text(str(tmp_path / "t/HEAD")) == "2"
+
+
+def test_mem_io_atomic_overwrite():
+    io = MemTableIO()
+    io.write_text_atomic("/t/HEAD", "1")
+    io.write_text_atomic("/t/HEAD", "2")
+    assert io.read_text("/t/HEAD") == "2"
+    io.rmtree("/t")
+    assert not io.exists("/t/HEAD")
+
+
+def test_lake_table_create_load_on_mem_io():
+    """LakeTable's create/load metadata plane works against the fake —
+    proving no hidden os.* escape hatches in the protocol path. (Data
+    files would be written by Spark through its own FS layer; an empty
+    table never touches them.)"""
+    from unittest.mock import MagicMock
+
+    from migrator_spark.plans.laketable import LakeTable
+    from pyspark.sql import types as T
+
+    io = MemTableIO()
+    schema = T.StructType([T.StructField("k", T.StringType(), False)])
+    t = LakeTable.create(MagicMock(), "/tbl", schema, ["k"], num_buckets=4, io=io)
+    assert t.version == 1
+    t2 = LakeTable.load(MagicMock(), "/tbl", io=io)
+    assert t2.key_cols == ["k"]
+    assert t2.count(estimate=True) == 0
+    assert io.read_text("/tbl/HEAD") == "1"
