@@ -59,8 +59,21 @@ pipelines/base.go:386-388). Readers are lock-free.
 from __future__ import annotations
 
 import os
+import sys
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
+
+_TIMING = bool(os.environ.get("SPARK_GRAFT_MERGE_TIMING"))
+
+
+def _tlog(label: str, t0: float) -> float:
+    """Phase timing to stderr when SPARK_GRAFT_MERGE_TIMING is set —
+    the diagnostic for the per-commit serial floor."""
+    t1 = time.monotonic()
+    if _TIMING:
+        print(f"[merge-timing] {label}: {t1 - t0:.3f}s", file=sys.stderr)
+    return t1
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,16 +86,13 @@ from migrator_spark.schema import reconcile_schemas
 LAST_OFFSET_COL = "_last_offset"
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
-# events-per-winner counter persisted in delta files; feeds the
-# per-partition lineage scan without a second pass over the batch
-N_EVENTS_COL = "_n_events"
 META_COLS = ("offset", "op", "ts")
 
 
-def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int, int]:
-    """(rows, events, deletes) of one freshly staged delta file, read
-    driver-side with pyarrow — a footer read plus (optionally) two tiny
-    counter columns. This replaces a per-commit Spark job + collect
+def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int]:
+    """(rows, deletes) of one freshly staged delta file, read
+    driver-side with pyarrow — a footer read plus (optionally) one tiny
+    boolean column. This replaces a per-commit Spark job + collect
     (the round-1 serial floor); at cluster scale the same reads go
     through pyarrow.fs against HDFS/S3. Metadata-plane work: O(files
     per commit), independent of batch size."""
@@ -92,11 +102,10 @@ def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int, int]:
     pf = pq.ParquetFile(path)
     rows = pf.metadata.num_rows
     if not read_counters or rows == 0:
-        return rows, 0, 0
-    t = pf.read(columns=[N_EVENTS_COL, DELETED_COL])
-    events = int(pc.sum(t[N_EVENTS_COL]).as_py() or 0)
+        return rows, 0
+    t = pf.read(columns=[DELETED_COL])
     deletes = int(pc.sum(t[DELETED_COL].cast("int64")).as_py() or 0)
-    return rows, events, deletes
+    return rows, deletes
 
 
 class LakeTable:
@@ -273,8 +282,9 @@ class LakeTable:
         transform=None,
         compact_threshold: int | None = 8,
         per_bucket_lineage: bool = True,
-        broadcast_winner_limit: int = 2_000_000,
+        broadcast_winner_limit: int = 16_000_000,
         validate_offsets: bool = False,
+        winner_estimate: int | None = None,
     ) -> dict:
         """Apply a batch of change envelopes: LWW per key, upsert
         non-deletes, remove deletes. Returns the lineage dict.
@@ -299,8 +309,13 @@ class LakeTable:
         ``broadcast_winner_limit``: winner sets up to this size use the
         broadcast-offset join (fat side never shuffles); larger winner
         sets fall back to the skew-free shuffle join on (key, offset).
-        The winner count is measured (cheap slim-column agg) before the
-        plan is chosen, so the limit is actually enforced.
+        The limit is enforced against the previous commit's measured
+        winner count (2× headroom), with an exact slim-column count job
+        only when no estimate exists or it lands near the limit. The
+        broadcast rows are 16 B each ((offset, count) pairs), so the
+        16M default is ~256 MB of driver build — comfortably inside an
+        8 GB driver and Spark's broadcast cap; size it down for small
+        drivers, up for bigger batches.
 
         ``validate_offsets=True`` asserts offset uniqueness across ALL
         events in the batch (one extra narrow pass — on in the test
@@ -359,6 +374,39 @@ class LakeTable:
         wmax = slim.groupBy(*key_cols).agg(
             F.max(order_col).alias(order_col), F.count(F.lit(1)).alias("_n")
         )
+        # ALL lineage that depends on per-key event counts rides as
+        # observe() metrics ON THE AGG inside the broadcast subquery
+        # (metrics from broadcast subqueries do fire): global events /
+        # winners / max offset, plus per-bucket event sums as B
+        # conditional aggregates over the (small) winner set. This lets
+        # the probe broadcast carry OFFSETS ONLY — measured decisive
+        # for scaling: the (offset, _n) map at ~1.4M winners exceeds
+        # what stays cache-resident when every executor holds a copy
+        # (N→4N efficiency 0.74 with the fat map vs 0.81 with the slim
+        # one on the isolated join stage), and the fat scan probes it
+        # 32M times per batch.
+        from pyspark.sql import Observation
+
+        per_bucket_obs = (
+            per_bucket_lineage and b_total <= 256
+            and not os.environ.get("SPARK_GRAFT_NO_BUCKET_OBS")
+        )
+        obs_w = Observation()
+        obs_w_exprs = [
+            F.count(F.lit(1)).alias("winners"),
+            F.sum("_n").alias("events"),
+            F.max(order_col).alias("max_offset"),
+        ]
+        if per_bucket_obs:
+            # bucket id materialized ONCE as a column (_wb): the B
+            # conditional sums then test a cached int instead of
+            # re-hashing the key strings B times per row
+            wmax = wmax.withColumn("_wb", bucket_expr(key_cols, b_total))
+            obs_w_exprs += [
+                F.sum(F.when(F.col("_wb") == b, F.col("_n")).otherwise(0)).alias(f"ev_{b}")
+                for b in range(b_total)
+            ]
+        wmax_o = wmax.observe(obs_w, *obs_w_exprs)
         # Enforce broadcast_winner_limit WITHOUT a per-merge count job
         # (measured: an always-on count+persist cost ~20% throughput at
         # 8 cores): estimate this batch's winner count from the
@@ -368,26 +416,33 @@ class LakeTable:
         # count run to decide. A mis-estimate can broadcast at most
         # 2×limit — far under Spark's hard broadcast cap; sustained
         # growth re-measures on the next merge.
-        est = manifest.get("last_winners")
+        t = time.monotonic()
+        # winner_estimate: caller-provided capacity hint (e.g. from a
+        # warmup run or the stream's configured batch size) — used only
+        # when the table has no commit history yet
+        est = manifest.get("last_winners") or winner_estimate
         if est is not None and est * 2 <= broadcast_winner_limit:
             use_broadcast = True
         else:
             use_broadcast = wmax.count() <= broadcast_winner_limit
+            t = _tlog("winner-count-job", t)
         # Offsets are unique per batch, so the winner set is fully
-        # identified by its offsets: broadcast the slim (offset,
-        # events-count) pairs (16 B/row) and inner-join on offset — a
-        # map-side broadcast hash join. The fat content-carrying side
-        # is scanned ONCE and never shuffled (a key-join instead
-        # shuffles + sorts the whole batch payload: measured as the
-        # dominant cost). Past ``broadcast_winner_limit`` winners the
-        # broadcast would strain the driver, so the skew-free shuffle
-        # join on (key, offset) takes over (offsets make the join key
-        # unique → no hot-key skew even then).
-        woff = wmax.select(F.col(order_col), F.col("_n"))
+        # identified by its offsets: broadcast the slim OFFSET column
+        # (8 B/entry) and inner-join on offset — a map-side broadcast
+        # hash join. The fat content-carrying side is scanned ONCE and
+        # never shuffled (a key-join instead shuffles + sorts the whole
+        # batch payload: measured as the dominant cost). Past
+        # ``broadcast_winner_limit`` winners the broadcast would strain
+        # the driver, so the skew-free shuffle join on (key, offset)
+        # takes over (offsets make the join key unique → no hot-key
+        # skew even then).
         if use_broadcast:
+            woff = wmax_o.select(F.col(order_col))
             winners = ev.join(F.broadcast(woff), on=order_col, how="inner")
         else:
-            winners = ev.join(wmax, on=key_cols + [order_col], how="inner")
+            winners = ev.join(
+                wmax_o, on=key_cols + [order_col], how="inner"
+            ).drop("_n", "_wb")
         winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols, b_total))
         # Row transform on winners only (see docstring).
         if transform is not None:
@@ -427,32 +482,26 @@ class LakeTable:
         # read cost once a bucket's delta chain passes
         # ``compact_threshold``.
         #
-        # The write is the merge's ONLY wide Spark action: global
-        # lineage totals ride along as observe() metrics, and ``_n``
-        # (events folded into each winner) is persisted IN the delta
-        # files so the per-partition counters come from a driver-side
-        # pyarrow read of two tiny counter columns (no extra Spark job,
-        # no collect — the round-1 version's per-commit stats job was
-        # a measured part of the serial commit floor).
+        # The write is the merge's ONLY wide Spark action: per-key
+        # event counts never leave the observed agg (above), so the
+        # delta files carry only payload + offset + tombstone flag;
+        # per-bucket winner/delete counters come from a driver-side
+        # pyarrow read of the staged footers + one tiny boolean column
+        # (no extra Spark job, no collect — the round-1 version's
+        # per-commit stats job was a measured part of the serial commit
+        # floor).
         delta = winners.select(
             *payload_names,
             F.col(order_col).alias(LAST_OFFSET_COL),
             (F.col(op_col) == "delete").alias(DELETED_COL),
-            F.col("_n").alias(N_EVENTS_COL),
             F.col(BUCKET_COL),
         )
-        from pyspark.sql import Observation
-
         obs = Observation()
         obs_exprs = [
             F.count(F.lit(1)).alias("winners"),
-            F.sum(N_EVENTS_COL).alias("events"),
             F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
             F.max(LAST_OFFSET_COL).alias("max_offset"),
         ]
-        # (Per-partition counters as inline conditional observe sums
-        # were measured SLOWER than the arrow post-read: 3 expressions
-        # per bucket evaluate on every row of the write.)
         delta = delta.observe(obs, *obs_exprs)
         next_version = manifest["version"] + 1
         # Adaptive layout salt: spreading a bucket across S writer
@@ -465,25 +514,35 @@ class LakeTable:
         # compactor rewrote the whole table every other batch).
         n_parts = self.spark.sparkContext.defaultParallelism
         layout_salt = max(1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1)))
+        t = time.monotonic()
         staged, staged_rows, per_bucket = self._stage_and_promote(
             delta, next_version, n_parts, salt_buckets=layout_salt,
             collect_stats=per_bucket_lineage,
         )
         m = obs.get
-        wmax.unpersist()
+        t = _tlog("stage+promote+stats", t)
         if not staged or not m.get("winners"):  # empty batch: record the commit
+            # (don't touch obs_w here: an all-empty plan can prune the
+            # broadcast subquery so its metrics never materialize)
             return self._commit(
                 manifest["buckets"], dict(manifest.get("bucket_rows", {})),
                 new_table_schema, stream_id, batch_id,
                 {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
                 {}, manifest["last_offset"],
             )
+        mw = obs_w.get
         totals = {
-            "events": int(m["events"]),
+            "events": int(mw["events"]),
             "applied": int(m["winners"] - m["deletes"]),
-            "deduped": int(m["events"] - m["winners"]),
+            "deduped": int(mw["events"] - m["winners"]),
             "deleted": int(m["deletes"]),
         }
+        # join the two per-bucket sources: events from the observed agg
+        # (ev_b sums), winners/deletes from the staged footers
+        if per_bucket_obs:
+            for b, s in per_bucket.items():
+                s["events"] = int(mw.get(f"ev_{b}") or 0)
+                s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
         new_buckets = dict(manifest["buckets"])
         new_rows = dict(manifest.get("bucket_rows", {}))
         for b, rels in staged.items():
@@ -539,12 +598,14 @@ class LakeTable:
         if salt_buckets and salt_buckets > 1:
             parts.append(F.pmod(F.col(LAST_OFFSET_COL), F.lit(salt_buckets)))
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        t = time.monotonic()
         (
             df.repartition(max(1, min(n_partitions, 200)), *parts)
             .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(staging)
         )
+        t = _tlog("write-job", t)
         commit_rel = f"data/commit-v{next_version:08d}"
         commit_abs = os.path.join(self.path, commit_rel)
         self.io.rename(staging, commit_abs)
@@ -563,19 +624,22 @@ class LakeTable:
             return {}, {}, {}
         rows: dict[int, int] = {}
         stats: dict[int, dict] = {}
+        t = time.monotonic()
         with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
-            results = pool.map(
-                lambda t: (t[0], _staged_file_stats(t[2], collect_stats)), tasks
+            results = list(
+                pool.map(lambda t: (t[0], _staged_file_stats(t[2], collect_stats)), tasks)
             )
-        for b, (n, events, deletes) in results:
+        _tlog(f"footer-stats({len(tasks)} files)", t)
+        for b, (n, deletes) in results:
             rows[b] = rows.get(b, 0) + n
             if collect_stats:
                 s = stats.setdefault(
                     b, {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
                 )
-                s["events"] += events
+                # events/deduped are joined in afterwards from the
+                # observed agg metrics (merge(); unavailable when
+                # num_buckets > 256 — they stay 0 there, documented)
                 s["applied"] += n - deletes
-                s["deduped"] += events - n
                 s["deleted"] += deletes
         return out, rows, stats
 

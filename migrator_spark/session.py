@@ -71,4 +71,21 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_noisy_loggers(spark)
+    return spark
+
+
+def _silence_noisy_loggers(spark: SparkSession) -> None:
+    """FileStreamSink logs a WARN *with a full stack trace* every time
+    a glob path is read as batch input ("Assume no metadata
+    directory…") — harmless but it pollutes bench output streams.
+    Raise just that logger to ERROR via log4j2."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: purely cosmetic, ignore
