@@ -12,18 +12,27 @@ log, and prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "cdc": {...}}
 
 Scaling mode — the north rule's N→4N evidence (sandbox stand-in: the
-same job at N and 4N cores on identical input):
-  python bench.py --scaling            # local[1] vs local[4]
-  python bench.py --scaling --lo 8 --hi 32
-runs the CDC-apply job in two fresh subprocesses (clean JVMs) and
-writes BENCH/BASELINE.md with throughput at both levels and the
-scaling efficiency  eff = (thr_4N / thr_N) / 4.
+same job at two cluster sizes on one box, identical input):
+  python bench.py --scaling --batches 1 --reps 4
+Default legs: 1 vs 4 executor JVMs × 2 cores (local-cluster: separate
+heaps/GC/python workers), each leg's WHOLE process tree hard-capped
+with taskset, executor JVM threadpools pinned via ActiveProcessorCount,
+fresh JVM per leg, reps INTERLEAVED N,4N,N,4N (the sandbox host
+steals/throttles vCPUs with ±10% drift — medians over interleaved reps
+are the defensible estimate; legs also report real CPU from /proc/stat
+with steal excluded). eff = (thr_4N / thr_N) / 4. Results land in
+BENCH/SCALING_LAST_RUN.md; BENCH/BASELINE.md holds the curated
+evidence dossier (stage decomposition, controls, topology sweep).
 
-The default legs are 1 vs 4 executor JVMs x 2 cores, each leg's whole
-process tree hard-capped with taskset (driver co-located). See
-BENCH/BASELINE.md for the measured numbers and the single-box
-memory-bus analysis; each --scaling run also writes its own record to
-BENCH/SCALING_LAST_RUN.md.
+Controls / stage isolation (same capped-leg harness):
+  --scan-only          engine-free full-decode scan (bus ceiling)
+  --variant shuffle    vanilla-Spark full repartition (exchange ceiling)
+  --variant lww        slim scan + LWW agg shuffle
+  --variant join       fat scan + broadcast winner join
+  --variant write      full merge minus the Arrow transform
+Other knobs: --thread-scaling (local[N] legs), --exec-cores,
+--driver-cpus, SPARK_GRAFT_CPU_BASE (move legs off the noisy low
+cores), SPARK_GRAFT_MERGE_TIMING=1 (per-phase commit timing).
 
 Internal: --cdc-only --cores N prints a single run's JSON (used by
 --scaling via subprocess).
@@ -230,6 +239,13 @@ def run_stage_variant(spark, log_dir: str, variant: str, salt: int = 32) -> dict
             r = winners.agg(F.sum(F.length("content")), F.sum("_n")).collect()[0]
             return int(r[1])
         return timed(job)
+    if variant == "shuffle":  # vanilla-Spark exchange control: full
+        # repartition of the fat rows — no engine code at all; its
+        # N→4N efficiency bounds ANY exchange-bearing job on this box
+        def job():
+            n = ev.repartition(8, "repo", "path").count()
+            return int(n)
+        return timed(job)
     if variant == "join2":  # offsets-only broadcast: map-size (L3) probe
         def job():
             wmax = ev.select("repo", "path", "offset").groupBy("repo", "path").agg(
@@ -375,9 +391,12 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         spark.stop()  # free the 32 cores before the capped legs run
         try:
+            # one interleaved N/4N pair at 16M events keeps the
+            # per-round record bounded (~4 min); the curated 32M ×
+            # 4-rep dossier lives in BENCH/BASELINE.md
             out["scaling"] = scaling(
-                int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "32000000")),
-                1_600_000, repeat=repeat, batches=2,
+                int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")),
+                800_000, repeat=repeat, batches=1,
             )
         except Exception as e:  # keep the headline record even if a leg dies
             out["scaling_error"] = str(e)[-500:]
@@ -404,7 +423,12 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
     _bench_log(num_events, num_keys, repeat)  # pre-generate so gen isn't timed
     out = {}
     all_reps: dict[int, list] = {lo: [], hi: []}
-    for cores in (lo, hi):
+    # INTERLEAVED reps (N,4N,N,4N,…): this VM's host steals/throttles
+    # vCPUs with slow multiplicative drift (±30% observed on identical
+    # back-to-back legs); alternating legs makes the drift hit both
+    # sides of the ratio instead of biasing one
+    leg_order = [c for _ in range(reps) for c in (lo, hi)]
+    for cores in leg_order:
         env = dict(os.environ)
         args = [sys.executable, os.path.abspath(__file__), "--cdc-only",
                 "--events", str(num_events),
@@ -436,17 +460,15 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
             env["SPARK_GRAFT_LEG_CPUS"] = str(cores)
             base = int(os.environ.get("SPARK_GRAFT_CPU_BASE", "0"))
             args = ["taskset", "-c", f"{base}-{base + cores - 1}"] + args
-        for _rep in range(reps):
-            p = subprocess.run(
-                args,
-                capture_output=True, text=True, env=env,
-            )
-            if p.returncode != 0:
-                raise RuntimeError(f"cores={cores} failed: {p.stderr[-2000:]}")
-            all_reps[cores].append(json.loads(p.stdout.strip().splitlines()[-1]))
-        # median throughput rep: this sandbox VM's hypervisor steals
-        # 10-20% of a busy vCPU with run-to-run variance — medians over
-        # fresh-JVM reps are the defensible point estimate
+        p = subprocess.run(
+            args,
+            capture_output=True, text=True, env=env,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(f"cores={cores} failed: {p.stderr[-2000:]}")
+        all_reps[cores].append(json.loads(p.stdout.strip().splitlines()[-1]))
+    for cores in (lo, hi):
+        # median throughput rep as the point estimate
         rs = sorted(all_reps[cores], key=lambda r: r["events_per_sec"])
         out[cores] = rs[len(rs) // 2]
     thr_lo, thr_hi = out[lo]["events_per_sec"], out[hi]["events_per_sec"]
@@ -482,42 +504,39 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
 
 def _write_baseline_md(result: dict, runs: dict, lo: int, hi: int) -> None:
     """Record the run in BENCH/SCALING_LAST_RUN.md (BENCH/BASELINE.md
-    holds the curated round analysis and is maintained by hand)."""
+    holds the curated round evidence dossier, maintained by hand)."""
     os.makedirs("BENCH", exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — measured engine numbers
+    md = f"""# BENCH/SCALING_LAST_RUN.md — latest N vs 4N measurement
 
-North rule: ≥0.8 throughput scaling efficiency from N to 4N executors.
-Sandbox evidence (task directive): identical CDC-apply job + input at
+North rule: >=0.8 throughput scaling efficiency from N to 4N
+executors. Sandbox evidence (task directive): identical job + input at
 two cluster sizes on one machine —
 **{result['level_N']} (N) vs {result['level_4N']} (4N)**.
 
 Methodology: Spark `local-cluster` spawns real SEPARATE executor JVMs
-(own heap, own GC, own python-UDF workers) registered with the driver —
-the faithful single-box stand-in for growing a cluster from N to 4N
-executors. Plain `local[c]` thread scaling shares one heap/GC and one
-memory bus across all "executors" and under-measures the engine: the
-string-heavy parquet decode of ~KB source files saturates this VM's
-memory bus around 8 threads (a plain `sum(length(content))` scan gains
-only 1.9x from 8→32 threads). Thread-scaling numbers can still be
-reproduced with `--thread-scaling --lo 8 --hi 32`.
+(own heap, GC, python-UDF workers); each leg's process tree is
+kernel-capped with `taskset`; executor threadpools pinned via
+`-XX:ActiveProcessorCount`; fresh JVM per leg; reps interleaved
+N,4N,N,4N against host vCPU drift; per-leg CPU measured from the
+capped cores' /proc/stat jiffies, steal excluded. See
+BENCH/BASELINE.md for the stage-isolated controls (engine-free scan =
+0.97, vanilla-Spark exchange = 0.77 on the same legs) and the full
+noise analysis.
 
-Job: {result['events']:,} change events over {result['keys']:,} keys
-(hot repo ≈30% of traffic, ~{result.get('repeat', 2) * 110} B avg content), full path =
-read parquet log → salted two-phase LWW → Arrow-UDF normalize+sha256
-on winners → merge-on-read delta commit (+amortized compaction)
-× {runs[lo]['batches']} sequential micro-batches. Fresh JVM per level.
+Job: {result.get('job', 'cdc-apply')}, {result['events']:,} events over
+{result['keys']:,} keys (hot repo ~30%), {runs[lo]['batches']} commit(s).
 
-| cluster size | wall (s) | throughput (events/s) |
-|---|---|---|
-| {result['level_N']} (N) | {runs[lo]['wall_sec']} | {runs[lo]['events_per_sec']:,} |
-| {result['level_4N']} (4N) | {runs[hi]['wall_sec']} | {runs[hi]['events_per_sec']:,} |
+| cluster size | median throughput (events/s) | all reps | CPU us/event |
+|---|---|---|---|
+| N | {result['throughput_N']:,} | {result.get('reps_N')} | {result.get('cpu_us_per_event_N')} |
+| 4N | {result['throughput_4N']:,} | {result.get('reps_4N')} | {result.get('cpu_us_per_event_4N')} |
 
-**Scaling efficiency = (thr_4N / thr_N) / 4 = {result['scaling_efficiency']}**
-(target ≥ 0.8 → {"PASS" if result['pass'] else "FAIL"})
+**Scaling efficiency (ratio of medians) = {result['scaling_efficiency']}**
+(target >= 0.8 -> {"PASS" if result['pass'] else "FAIL"})
 
 Final table rows: {runs[hi]['final_rows']:,} (identical at both levels).
 
-Reproduce: `python bench.py --scaling --events {result['events']} --keys {result['keys']} --repeat {result.get('repeat', 8)}`
+Reproduce: `SPARK_GRAFT_CPU_BASE=16 python bench.py --scaling --batches {result['batches']} --reps 4 --events {result['events']}`
 """
     with open("BENCH/SCALING_LAST_RUN.md", "w") as f:
         f.write(md)

@@ -83,9 +83,12 @@ def _silence_noisy_loggers(spark: SparkSession) -> None:
     Raise just that logger to ERROR via log4j2."""
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        for logger in (
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
             "org.apache.spark.sql.execution.streaming.FileStreamSink",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:
         pass  # non-log4j2 deployments: purely cosmetic, ignore

@@ -99,3 +99,56 @@ class StateStore:
             yield
         finally:
             os.close(fd)  # releases the flock
+
+
+class MemStateStore(StateStore):
+    """In-memory variant — the reference runs a 3-store conformance
+    suite (memory/file/redis, /root/reference/pipelines/
+    base_test.go:45-100 and states/memory.go); this is the memory leg
+    (redis is a declared non-goal). Single-process semantics: the
+    run_lock degrades to a plain held-set since there is no cross-
+    process story to guard."""
+
+    def __init__(self):
+        self._docs: dict[str, dict] = {}
+        self._locks: set[str] = set()
+
+    def _path(self, pipeline_id: str) -> str:  # pragma: no cover - unused
+        raise NotImplementedError("memory store has no paths")
+
+    def get(self, pipeline_id: str) -> dict:
+        if pipeline_id not in self._docs:
+            return {
+                "migration_status": "idle",
+                "migration_offset": 0,
+                "migration_total": 0,
+                "migration_issue": "",
+                "replication_status": "idle",
+                "replication_issue": "",
+                "lineage": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+            }
+        return dict(self._docs[pipeline_id])
+
+    def set(self, pipeline_id: str, state: dict) -> None:
+        self._docs[pipeline_id] = dict(state)
+
+    def update(self, pipeline_id: str, **fields) -> dict:
+        st = self.get(pipeline_id)
+        st.update(fields)
+        st["updated_at"] = time.time()
+        self.set(pipeline_id, st)
+        return st
+
+    def delete(self, pipeline_id: str) -> None:
+        self._docs.pop(pipeline_id, None)
+
+    @contextlib.contextmanager
+    def run_lock(self, pipeline_id: str, kind: str):
+        key = f"{pipeline_id}.{kind}"
+        if key in self._locks:
+            raise RuntimeError(f"pipeline {pipeline_id!r} {kind} already running")
+        self._locks.add(key)
+        try:
+            yield
+        finally:
+            self._locks.discard(key)

@@ -1,0 +1,45 @@
+"""State-store conformance across variants — the reference's
+multi-store suite (pipelines/base_test.go:45-100, states/memory.go,
+states/file.go); redis is a declared non-goal (SURVEY §7.5)."""
+
+import pytest
+
+from migrator_spark.state import MemStateStore, StateStore
+
+
+def _stores(tmp_path):
+    return [StateStore(str(tmp_path / "file")), MemStateStore()]
+
+
+def test_conformance_default_update_delete(tmp_path):
+    for st in _stores(tmp_path):
+        d = st.get("p1")
+        assert d["migration_status"] == "idle"
+        assert d["lineage"]["events"] == 0
+        st.update("p1", migration_status="in_progress", migration_offset=7)
+        got = st.get("p1")
+        assert got["migration_status"] == "in_progress"
+        assert got["migration_offset"] == 7
+        assert "updated_at" in got
+        st.delete("p1")
+        assert st.get("p1")["migration_status"] == "idle"
+
+
+def test_conformance_duplicate_run_guard(tmp_path):
+    for st in _stores(tmp_path):
+        with st.run_lock("p", "migration"):
+            with pytest.raises(RuntimeError, match="already running"):
+                with st.run_lock("p", "migration"):
+                    pass
+            # a different kind is independent
+            with st.run_lock("p", "replication"):
+                pass
+        # released after exit
+        with st.run_lock("p", "migration"):
+            pass
+
+
+def test_mem_store_isolation():
+    a, b = MemStateStore(), MemStateStore()
+    a.update("p", migration_offset=1)
+    assert b.get("p")["migration_offset"] == 0
