@@ -518,6 +518,63 @@ def ann_query(
     return cosine_topk_bruteforce(idx, query_vec, id_col, vec_col, k)
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    tables: int = 8,
+    bits: int = 6,
+    plane_prefix: str = "p",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane
+    LSH blocking (candidates share a bucket in ANY of ``tables``
+    independent ``bits``-bit tables — never an all-pairs join), then
+    exact cosine ≥ ``threshold``.
+
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables — ~0.98
+    for true near-dups (cos ≥ 0.9) at the 8×6 default; the planes are
+    the md5-derived constants of :func:`deterministic_planes`, so a
+    SQL oracle replicates blocking AND scoring exactly (no trusted
+    Python). Returns (id_a, id_b, cos_sim)."""
+    planes = deterministic_planes(dim, tables * bits, plane_prefix)
+    buckets = F.array(
+        *[lsh_bucket_expr(vec_col, planes[t * bits:(t + 1) * bits]) for t in range(tables)]
+    )
+    b = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(buckets).alias("_t", "_b")
+    )
+    if max_bucket_size:
+        b = _cap_buckets(b, ["_t", "_b"], max_bucket_size)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._t") == F.col("r._t"))
+            & (F.col("l._b") == F.col("r._b"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (norm(F.col("_va")) * norm(F.col("_vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame, query_vec: list[float], id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, num_bits: int = 12,

@@ -834,6 +834,51 @@ ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
+    blocking + exact cosine verify (operators/similarity.py). The md5
+    planes let the oracle replicate BOTH the blocking and the scoring
+    in SQL — the approximate pipeline is hash-checked end to end."""
+    from migrator_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, dim=64, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_near_dups(tables: int = 8, bits: int = 6, tau: float = 0.35) -> str:
+    from migrator_spark.operators.similarity import deterministic_planes
+
+    P = deterministic_planes(64, tables * bits)
+    rows = ",".join(
+        f"({t}, {b}, [{','.join(repr(float(x)) for x in P[t * bits + b])}]::DOUBLE[])"
+        for t in range(tables)
+        for b in range(bits)
+    )
+    return f"""
+WITH planes(t, b, pl) AS (VALUES {rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bk AS (
+  SELECT vec_id, p.t,
+         CAST(SUM(CASE WHEN list_dot_product(emb, p.pl) > 0
+                       THEN CAST(2**p.b AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v, planes p GROUP BY vec_id, p.t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(x.emb, y.emb) /
+             (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 4) AS cos_sim
+FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+WHERE list_dot_product(x.emb, y.emb) /
+      (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) >= {tau}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS = _sql_embedding_near_dups()
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow mapInPandas decode/feature stage
     with a REAL pure-numpy BMP codec. The corpus pixels follow the
@@ -945,6 +990,7 @@ QUERIES = {
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "multimodal_image_features": q_multimodal_image_features,
 }
 
@@ -978,5 +1024,6 @@ ORACLES = {
     "simhash_dups": SQL_SIMHASH_DUPS,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
 }

@@ -159,8 +159,14 @@ def test_ann_index_prunes_partitions(spark, vectors, tmp_path):
     qb = query_bucket(qv, planes)
     probed = {qb} | {qb ^ (1 << i) for i in range(4)}
     full = spark.read.parquet(idx)
-    n_probed = full.filter(F.col("_lsh").isin(list(probed))).count()
+    pruned = full.filter(F.col("_lsh").isin(list(probed)))
+    n_probed = pruned.count()
     assert 0 < n_probed < full.count()
+    # FILE-level pruning: the physical scan carries the _lsh partition
+    # filter (unprobed _lsh= directories are never read)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_lsh" in plan
+    assert "_lsh#" in plan.split("PartitionFilters")[1][:300]
     # spark-side buckets equal the driver-side fold for every vector
     got = {r["vec_id"]: r["_lsh"] for r in full.select("vec_id", "_lsh").collect()}
     for r in vectors.collect():
