@@ -78,6 +78,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="also expire all but the newest N snapshots (vacuum)")
     k.add_argument("--cores", type=int, default=None)
 
+    n = sub.add_parser("count", help="row count: O(1) manifest estimate vs accurate scan")
+    n.add_argument("--table", required=True)
+    n.add_argument("--accurate", action="store_true", help="also run the exact LWW-resolved count")
+    n.add_argument("--cores", type=int, default=None)
+
+    imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
+    imp.add_argument("--table", required=True)
+    imp.add_argument("--src", required=True)
+    imp.add_argument("--format", default="csv", choices=["csv", "parquet", "jsonl"])
+    imp.add_argument("--cores", type=int, default=None)
+
+    exp = sub.add_parser("export", help="table -> file (reference Export)")
+    exp.add_argument("--table", required=True)
+    exp.add_argument("--dest", required=True)
+    exp.add_argument("--format", default="csv", choices=["csv", "parquet", "jsonl"])
+    exp.add_argument("--cores", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.mode == "gen":
@@ -108,6 +125,36 @@ def main(argv: list[str] | None = None) -> int:
         if args.expire_keep is not None:
             out["expired_files"] = table.refresh().expire_snapshots(keep=args.expire_keep)
         print(json.dumps(out))
+        return 0
+
+    if args.mode == "count":
+        from migrator_spark.plans.laketable import LakeTable
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-count", cores=args.cores)
+        table = LakeTable.load(spark, args.table)
+        out = {"estimate": table.count(estimate=True), "version": table.version}
+        if args.accurate:
+            out["accurate"] = table.count()
+        print(json.dumps(out))
+        return 0
+
+    if args.mode == "import":
+        from migrator_spark.session import get_spark
+        from migrator_spark.sources.files import import_into_table
+
+        spark = get_spark("migrator-import", cores=args.cores)
+        res = import_into_table(spark, args.table, args.src, fmt=args.format)
+        print(json.dumps({k: v for k, v in res.items() if k != "per_bucket"}))
+        return 0
+
+    if args.mode == "export":
+        from migrator_spark.session import get_spark
+        from migrator_spark.sources.files import export_table
+
+        spark = get_spark("migrator-export", cores=args.cores)
+        n_rows = export_table(spark, args.table, args.dest, fmt=args.format)
+        print(json.dumps({"exported_rows": n_rows, "dest": args.dest, "format": args.format}))
         return 0
 
     if args.mode == "verify":
