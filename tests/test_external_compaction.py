@@ -1,0 +1,54 @@
+"""Compaction off the hot path: a stream running with inline
+compaction disabled (compact_threshold=None) plus a sidecar
+``compact`` pass (the jobs/run.py compact subcommand's code path) must
+converge to the same state as inline compaction — the deployment shape
+for latency-sensitive pipelines where compaction runs as its own job."""
+
+from pyspark.sql import types as T
+
+from migrator_spark.gen import generate_event_log
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.schema import KEY_COLS, PAYLOAD_FIELDS
+from migrator_spark.streaming.apply import start_stream
+
+
+def _mk(spark, path, buckets=4):
+    payload = T.StructType(
+        PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+    )
+    return LakeTable.create(spark, path, payload, KEY_COLS, num_buckets=buckets)
+
+
+def test_sidecar_compaction_equals_inline(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_event_log(log, num_events=3000, num_keys=80, seed=9, num_files=6)
+
+    inline = str(tmp_path / "inline")
+    _mk(spark, inline)
+    q = start_stream(spark, log, inline, str(tmp_path / "ck1"),
+                     available_now=True, max_files_per_trigger=1,
+                     compact_threshold=2)
+    q.awaitTermination(120)
+
+    lazy = str(tmp_path / "lazy")
+    _mk(spark, lazy)
+    q = start_stream(spark, log, lazy, str(tmp_path / "ck2"),
+                     available_now=True, max_files_per_trigger=1,
+                     compact_threshold=None)
+    q.awaitTermination(120)
+
+    t_lazy = LakeTable.load(spark, lazy)
+    files_before = sum(len(fl) for fl in t_lazy.manifest["buckets"].values())
+    t_lazy.compact()  # the sidecar pass (jobs/run.py compact)
+    t_lazy = t_lazy.refresh()
+    files_after = sum(len(fl) for fl in t_lazy.manifest["buckets"].values())
+    assert files_after < files_before
+
+    a = {tuple(r) for r in LakeTable.load(spark, inline).read()
+         .select("repo", "path", "content", "content_sha256", "_last_offset").collect()}
+    b = {tuple(r) for r in t_lazy.read()
+         .select("repo", "path", "content", "content_sha256", "_last_offset").collect()}
+    assert a == b and len(a) > 0
+    # estimate tightened to exact after full compaction (minus any
+    # surviving tombstones)
+    assert t_lazy.count(estimate=True) >= t_lazy.count()
