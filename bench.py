@@ -146,6 +146,7 @@ def run_cdc_apply(spark, log_dir: str, table_dir: str, batches: int = 8,
             chunk, stream_id="bench", batch_id=b,
             salt_buckets=salt, transform=default_cdc_transform,
             winner_estimate=est,
+            layout=os.environ.get("SPARK_GRAFT_LAYOUT", "cluster"),
         )
         lo += step
         b += 1

@@ -285,6 +285,7 @@ class LakeTable:
         broadcast_winner_limit: int = 16_000_000,
         validate_offsets: bool = False,
         winner_estimate: int | None = None,
+        layout: str = "cluster",
     ) -> dict:
         """Apply a batch of change envelopes: LWW per key, upsert
         non-deletes, remove deletes. Returns the lineage dict.
@@ -324,6 +325,16 @@ class LakeTable:
         read-time LWW still resolves the key to its true max offset
         (correctness self-heals), but lineage counters over-count —
         hence the loud opt-in check.
+
+        ``layout``: how winners reach their bucket files — the Iceberg
+        clustered-vs-fanout writer trade:
+        - "cluster" (default): repartition by (bucket, salt) — one
+          exchange of the winner payload, few files per bucket.
+        - "fanout": coalesce (NO exchange); every writer task keeps an
+          open file per bucket it sees → tasks×buckets files per
+          commit. Skips a cross-node shuffle of the full winner payload
+          at the cost of file count (merge-on-read absorbs it; size
+          compact_threshold accordingly).
         """
         manifest = self.manifest
         # Exactly-once: skip an already-committed (stream, batch).
@@ -517,7 +528,7 @@ class LakeTable:
         t = time.monotonic()
         staged, staged_rows, per_bucket = self._stage_and_promote(
             delta, next_version, n_parts, salt_buckets=layout_salt,
-            collect_stats=per_bucket_lineage,
+            collect_stats=per_bucket_lineage, layout=layout,
         )
         m = obs.get
         t = _tlog("stage+promote+stats", t)
@@ -574,7 +585,7 @@ class LakeTable:
 
     def _stage_and_promote(
         self, df, next_version: int, n_partitions: int, salt_buckets: int = 0,
-        collect_stats: bool = False,
+        collect_stats: bool = False, layout: str = "cluster",
     ) -> tuple[dict, dict, dict]:
         """Write ``df`` (which carries BUCKET_COL) bucket-partitioned
         into a staging dir, promote the WHOLE staging dir with one
@@ -594,14 +605,18 @@ class LakeTable:
         stores); the single directory rename is the atomic-promotion
         primitive every target FS offers (HDFS rename; on S3 the
         manifest itself is the commit, since it names every file)."""
-        parts = [F.col(BUCKET_COL)]
-        if salt_buckets and salt_buckets > 1:
-            parts.append(F.pmod(F.col(LAST_OFFSET_COL), F.lit(salt_buckets)))
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         t = time.monotonic()
+        if layout == "fanout":
+            # no exchange: writers keep a file open per bucket they see
+            shaped = df.coalesce(max(1, min(n_partitions, 200)))
+        else:
+            parts = [F.col(BUCKET_COL)]
+            if salt_buckets and salt_buckets > 1:
+                parts.append(F.pmod(F.col(LAST_OFFSET_COL), F.lit(salt_buckets)))
+            shaped = df.repartition(max(1, min(n_partitions, 200)), *parts)
         (
-            df.repartition(max(1, min(n_partitions, 200)), *parts)
-            .write.partitionBy(BUCKET_COL)
+            shaped.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(staging)
         )
