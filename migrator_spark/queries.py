@@ -342,7 +342,14 @@ def q_type_coercion_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.col("event_type"))).alias("type_hex"),
         F.get_json_object(maybe_json, "$.k").alias("auto_json_k"),
         bool_str.isin("true", "1").alias("bool_parsed"),
-        F.floor(F.col("value") * 100).cast("decimal(20,0)").alias("uint_cents"),
+        # uint64-scale integers ride DECIMAL(20,0) internally; the
+        # query surface canonicalizes to string because decimal driver
+        # canonical text differs between engines ('655' vs '655.0')
+        # for EQUAL values — the string form is engine-neutral.
+        F.floor(F.col("value") * 100)
+        .cast("decimal(20,0)")
+        .cast("string")
+        .alias("uint_cents"),
     )
 
 
@@ -355,7 +362,7 @@ SELECT event_id,
             THEN json_extract_string(CASE WHEN event_id % 3 = 0 THEN props ELSE 'not json' END, '$.k')
             ELSE NULL END AS auto_json_k,
        (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE '0' END) IN ('true', '1') AS bool_parsed,
-       CAST(FLOOR(value * 100) AS DECIMAL(20,0)) AS uint_cents
+       CAST(CAST(FLOOR(value * 100) AS DECIMAL(20,0)) AS VARCHAR) AS uint_cents
 FROM events
 """
 
