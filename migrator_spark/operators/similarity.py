@@ -26,6 +26,7 @@ SQL-computable so the driver's DuckDB oracle can hash-match results —
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,13 +64,27 @@ def _hash_strings(items: list[str]) -> np.ndarray:
     return _splitmix64(out)
 
 
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ascii_tokens(text: str) -> list[str]:
+    """Lowercased tokens split on the ASCII whitespace class ONLY —
+    the exact class Spark's ``split(lower(text), '\\\\s+')`` and
+    DuckDB's ``regexp_split_to_array(lower(text), '\\s+')`` use in the
+    exact-verify / oracle stages. Python's bare ``str.split()`` splits
+    on ALL Unicode whitespace (NBSP, ideographic space, …), which
+    would shingle such docs differently in candidate generation than
+    in the verify, voiding the banding recall bound."""
+    return [t for t in _ASCII_WS.split(text.lower()) if t]
+
+
 def _word_ngrams(text: str | None, n: int) -> list[str]:
     """Distinct word n-grams, matching the tokenization the SQL oracle
-    uses: lowercase, split on whitespace, drop empties; docs with fewer
-    than ``n`` tokens yield no shingles."""
+    uses: lowercase, split on ASCII whitespace, drop empties; docs with
+    fewer than ``n`` tokens yield no shingles."""
     if not text:
         return []
-    toks = [t for t in text.lower().split() if t]
+    toks = _ascii_tokens(text)
     if len(toks) < n:
         return []
     return sorted({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
@@ -191,7 +206,7 @@ def make_simhash_udf(min_tokens: int = 5):
         for s in batches:
             out: list[int | None] = []
             for text in s.fillna(""):
-                toks = sorted({t for t in text.lower().split() if t})
+                toks = sorted(set(_ascii_tokens(text)))
                 if len(toks) < min_tokens:
                     out.append(None)
                     continue

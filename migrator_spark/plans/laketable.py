@@ -89,6 +89,20 @@ BUCKET_COL = "_bucket"
 META_COLS = ("offset", "op", "ts")
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan input-size estimate (file-scan bytes /
+    upstream stats) — a FREE driver-side stat, used only as a relative
+    batch-size spike detector for the broadcast-vs-shuffle decision,
+    never as an exact count."""
+    try:
+        v = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        # plans without stats report spark.sql.defaultSizeInBytes
+        # (Long.MAX) — that's "unknown", not "huge"
+        return v if 0 < v < (1 << 62) else None
+    except Exception:
+        return None
+
+
 def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int]:
     """(rows, deletes) of one freshly staged delta file, read
     driver-side with pyarrow — a footer read plus (optionally) one tiny
@@ -432,7 +446,24 @@ class LakeTable:
         # warmup run or the stream's configured batch size) — used only
         # when the table has no commit history yet
         est = manifest.get("last_winners") or winner_estimate
-        if est is not None and est * 2 <= broadcast_winner_limit:
+        # last_winners bounds NOTHING about the current batch: a small
+        # prior batch followed by a spike (backfill catch-up, replay
+        # storm) could otherwise broadcast an arbitrarily large winner
+        # set. Guard the estimate with a free driver-side stat:
+        # Catalyst's optimized-plan sizeInBytes for this batch vs the
+        # recorded size of the batch that produced the history. A >4x
+        # input growth voids the estimate and falls back to the exact
+        # slim-column count job (relative comparison only — the
+        # absolute numbers are estimates).
+        cur_bytes = _plan_size_bytes(ev)
+        last_bytes = manifest.get("last_batch_bytes")
+        spiked = bool(
+            manifest.get("last_winners") is not None
+            and cur_bytes is not None
+            and last_bytes
+            and cur_bytes > 4 * last_bytes
+        )
+        if est is not None and est * 2 <= broadcast_winner_limit and not spiked:
             use_broadcast = True
         else:
             use_broadcast = wmax.count() <= broadcast_winner_limit
@@ -539,7 +570,7 @@ class LakeTable:
                 manifest["buckets"], dict(manifest.get("bucket_rows", {})),
                 new_table_schema, stream_id, batch_id,
                 {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
-                {}, manifest["last_offset"],
+                {}, manifest["last_offset"], batch_bytes=cur_bytes,
             )
         mw = obs_w.get
         totals = {
@@ -570,7 +601,9 @@ class LakeTable:
             per_bucket,
             max(manifest["last_offset"], int(m["max_offset"])),
             added=[f.name for f in added],
+            batch_bytes=cur_bytes,
         )
+        result["used_broadcast"] = use_broadcast
         # Amortized compaction: rewrite buckets whose delta chain got
         # long (Iceberg/Delta minor-compaction analogue).
         if compact_threshold:
@@ -623,6 +656,16 @@ class LakeTable:
         t = _tlog("write-job", t)
         commit_rel = f"data/commit-v{next_version:08d}"
         commit_abs = os.path.join(self.path, commit_rel)
+        # Crash-retry safety: a prior attempt can die AFTER promoting
+        # this commit dir but BEFORE _commit publishes the snapshot +
+        # HEAD. Versions are allocated strictly past HEAD, so a
+        # pre-existing data/commit-v{next_version} cannot be referenced
+        # by any snapshot <= HEAD — it is an orphan from the failed
+        # attempt and clobbering it keeps retries idempotent (a bare
+        # rename onto a non-empty dir raises ENOTEMPTY and would wedge
+        # the stream permanently).
+        if self.io.exists(commit_abs):
+            self.io.rmtree(commit_abs)
         self.io.rename(staging, commit_abs)
         out: dict[int, list[str]] = {}
         tasks: list[tuple[int, str, str]] = []
@@ -699,6 +742,7 @@ class LakeTable:
         per_bucket: dict,
         last_offset: int,
         added: list[str] | None = None,
+        batch_bytes: int | None = None,
     ) -> dict:
         old = self.manifest
         next_version = old["version"] + 1
@@ -724,6 +768,10 @@ class LakeTable:
             # a count job
             "last_winners": (totals.get("applied", 0) + totals.get("deleted", 0))
             or old.get("last_winners"),
+            # input size (Catalyst estimate) of the batch that produced
+            # last_winners — the spike guard for the next merge's
+            # broadcast decision
+            "last_batch_bytes": batch_bytes or old.get("last_batch_bytes"),
             "parent": old["version"],
         }
         lineage = {

@@ -792,11 +792,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        "migrator-ann-idx-"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
+    # cache key = CONTENT fingerprint of the corpus (path + size +
+    # mtime of every part file), not just the path: a regenerated
+    # corpus at the same path must not silently reuse a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(
+        (n, os.path.getsize(os.path.join(src, n)), os.path.getmtime(os.path.join(src, n)))
+        for n in os.listdir(src)
+    ) if os.path.isdir(src) else [(src, os.path.getsize(src), os.path.getmtime(src))]
+    fp = hashlib.md5(repr((os.path.abspath(sf_dir), parts)).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"migrator-ann-idx-{fp}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_ann_index(
             e.filter(F.col("vec_id") != 0), idx, dim=len(qv), num_bits=ANN_NUM_BITS

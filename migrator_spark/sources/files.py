@@ -82,49 +82,104 @@ def import_into_table(
     key_cols: list[str] | None = None,
     id_start_offset: int | None = None,
     schema: T.StructType | None = None,
+    batch_size: int | None = None,
+    source_df: DataFrame | None = None,
 ) -> dict:
     """Reference ``Import``: load a file and upsert every row as an
-    insert envelope.
+    insert envelope, in resumable batches (base.go:154-175 pushes in
+    batches; ``batch_size`` here bounds commit granularity the same
+    way — None = one commit).
 
     Offsets are synthesized DISTRIBUTED: per-partition row_number plus
     cumulative partition base offsets (a global ``Window.orderBy``
     funnels the whole import through one task — the classic
-    single-partition scale-killer; Spark even warns). Uniqueness is
-    guaranteed; ordering across partitions follows file/split order.
+    single-partition scale-killer; Spark even warns). The source is
+    PERSISTED before partition sizes are collected: pids must come from
+    the SAME physical partitioning in the sizes job and the merge jobs
+    (an AQE re-plan or non-deterministic source could otherwise
+    re-split between evaluations and silently collide offsets), and
+    every merge runs with ``validate_offsets=True`` so a violation
+    fails loudly instead of corrupting lineage.
 
     ``id_start_offset`` defaults to the table's ``last_offset + 1`` so
-    imported rows win LWW over existing ones (an import into a
-    non-empty table with offsets starting at 0 would silently lose
-    every conflict). The commit's batch_id is the table version, so a
-    re-import of a same-named file is NOT skipped as a replay —
-    repeated imports of identical content stay idempotent through LWW
-    full-row equality instead."""
+    imported rows win LWW over existing ones. The chosen start is
+    recorded in ``<table>/_imports/<file>.json`` BEFORE the first
+    commit and marked ``done`` after the last: a re-run of a KILLED
+    import reuses the recorded start, so chunk offsets are
+    bit-identical across attempts and the exactly-once (stream, batch)
+    guard — the stream id embeds the start — skips already-committed
+    chunks; a re-import after completion picks a fresh start (fresh
+    stream id) and applies again, idempotent through LWW full-row
+    equality, matching the reference's re-import behaviour.
+
+    ``source_df`` bypasses the file read (import from any DataFrame —
+    repartitioned/shuffled sources are safe because of the persist)."""
     read, _ = FORMATS[fmt]
-    df = read(spark, src_path, schema)
+    df = source_df if source_df is not None else read(spark, src_path, schema)
     table = LakeTable.load(spark, table_path)
     keys = key_cols or table.key_cols
-    start = table.manifest["last_offset"] + 1 if id_start_offset is None else id_start_offset
+    name = os.path.basename(src_path)
+    state_path = os.path.join(table_path, "_imports", f"{name}.json")
+    prior = table.io.read_json(state_path) if table.io.exists(state_path) else None
+    if id_start_offset is not None:
+        start = id_start_offset
+    elif prior is not None and not prior.get("done"):
+        # resuming a killed import: the recorded start keeps every
+        # chunk's offsets identical to the first attempt, so committed
+        # chunks replay as no-ops
+        start = int(prior["start"])
+    else:
+        start = table.manifest["last_offset"] + 1
+    stream_id = f"import-{name}@{start}"
+    table.io.makedirs(os.path.join(table_path, "_imports"))
+    table.io.write_json_atomic(state_path, {"start": start, "src": src_path, "done": False})
     w = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
-    with_pid = df.withColumn("_pid", F.spark_partition_id())
-    # partition sizes → cumulative bases; tiny collect (one row per
-    # input split), broadcast back as a literal map
-    sizes = {r["_pid"]: r["n"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    bases, acc = [], start
-    for pid in sorted(sizes):
-        bases.append((pid, acc))
-        acc += sizes[pid]
-    base_df = spark.createDataFrame(bases or [(0, start)], "_pid int, _base long")
-    env = (
-        with_pid.join(F.broadcast(base_df), "_pid", "left")
-        .withColumn("offset", (F.col("_base") + w - F.lit(1)).cast("long"))
-        .drop("_pid", "_base")
-        .withColumn("op", F.lit("insert"))
-    )
-    return table.merge(
-        env,
-        stream_id=f"import-{os.path.basename(src_path)}",
-        batch_id=table.manifest["version"],
-    )
+    with_pid = df.withColumn("_pid", F.spark_partition_id()).persist()
+    try:
+        # partition sizes → cumulative bases; tiny collect (one row per
+        # input split), broadcast back as a literal map
+        sizes = {
+            r["_pid"]: r["n"]
+            for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(sizes.values())
+        bases, acc = [], start
+        for pid in sorted(sizes):
+            bases.append((pid, acc))
+            acc += sizes[pid]
+        base_df = spark.createDataFrame(bases or [(0, start)], "_pid int, _base long")
+        env = (
+            with_pid.join(F.broadcast(base_df), "_pid", "left")
+            .withColumn("offset", (F.col("_base") + w - F.lit(1)).cast("long"))
+            .drop("_pid", "_base")
+            .withColumn("op", F.lit("insert"))
+        )
+        step = batch_size or max(total, 1)
+        results, lo, b = [], start, 0
+        while lo < start + total or b == 0:
+            chunk = env.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
+            table = LakeTable.load(spark, table_path)
+            results.append(
+                table.merge(chunk, stream_id=stream_id, batch_id=b,
+                            validate_offsets=True)
+            )
+            lo += step
+            b += 1
+        table.io.write_json_atomic(
+            state_path, {"start": start, "src": src_path, "done": True}
+        )
+        return {
+            "skipped": all(r.get("skipped") for r in results),
+            "version": table.refresh().version,
+            "stream_id": stream_id,
+            "batches": b,
+            "totals": {
+                k: sum(r.get("totals", {}).get(k, 0) for r in results)
+                for k in ("events", "applied", "deduped", "deleted")
+            },
+        }
+    finally:
+        with_pid.unpersist()
 
 
 def export_table(

@@ -1,0 +1,165 @@
+"""Round-3 robustness: crash-retry idempotence of the staging-dir
+promotion, the batch-size spike guard on the broadcast winner-join
+decision, and resumable chunked imports with pinned partitioning.
+
+Reference analogues: the retried-batch idempotence the reference gets
+from per-document upserts (datasources/postgres.go:483-505 ON CONFLICT
+— a retry re-runs the same statements harmlessly) and batched Import
+(datasources/base.go:154-175)."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.sources.files import import_into_table
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+def test_merge_retry_after_promote_crash(spark, tmp_path):
+    """A process can die AFTER the staging dir is promoted to
+    data/commit-v{N} but BEFORE the snapshot/HEAD publish. The retried
+    batch recomputes the same next version; the promotion must clobber
+    the orphan dir instead of wedging on ENOTEMPTY."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0)
+    # simulate the half-committed crash: the NEXT version's commit dir
+    # exists on disk (with a stale file inside) but no snapshot names it
+    orphan = os.path.join(str(tmp_path / "t"), "data", f"commit-v{t.version + 1:08d}")
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    with open(os.path.join(orphan, "_bucket=0", "stale.parquet"), "w") as f:
+        f.write("junk")
+    res = t.merge(_env(spark, [(1, "insert", "r", "b", "y")]), stream_id="s", batch_id=1)
+    assert not res["skipped"]
+    t = t.refresh()
+    assert t.count() == 2
+    rows = {r["path"]: r["content"] for r in t.read().collect()}
+    assert rows == {"a": "x", "b": "y"}  # stale junk is gone, data correct
+
+
+def test_broadcast_spike_guard(spark, tmp_path):
+    """last_winners from a tiny prior batch must NOT green-light a
+    broadcast for a vastly larger batch: the optimizer-stat spike guard
+    forces the exact count, which then picks the shuffle join."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    # the small batch goes through parquet so the plan has REAL size
+    # stats (in-memory LocalRelation plans report unknown size and the
+    # guard correctly ignores them)
+    small_path = str(tmp_path / "small.parquet")
+    _env(spark, [(0, "insert", "r", "a", "x")]).write.parquet(small_path)
+    r1 = t.merge(spark.read.parquet(small_path))
+    assert r1["used_broadcast"]
+    assert t.manifest["last_winners"] == 1
+    assert t.manifest.get("last_batch_bytes")
+    # spike: 5000 winners vs history of 1, with a limit the spike busts.
+    # Write to parquet so the batch has real file-scan stats (>4x the
+    # recorded last_batch_bytes).
+    big_path = str(tmp_path / "big.parquet")
+    spark.range(1, 5001).select(
+        F.col("id").alias("offset"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("r"), (F.col("id") % 50).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    ).write.parquet(big_path)
+    big = spark.read.parquet(big_path)
+    r2 = t.merge(big, broadcast_winner_limit=100)
+    # without the guard: est=1 → est*2 <= 100 → broadcast of 5000
+    # winners. With it: spike voids the estimate, exact count (5000)
+    # exceeds the limit → shuffle join.
+    assert not r2["used_broadcast"]
+    assert t.refresh().count() == 5001
+
+
+def test_import_chunked_resume(spark, tmp_path):
+    """A chunked import killed between chunks resumes from the same
+    recorded start offset: re-running skips committed chunks
+    (exactly-once) and total lineage equals a clean run's."""
+    src = str(tmp_path / "in.csv")
+    spark.range(0, 300).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+    ).coalesce(2).write.option("header", "true").csv(src)
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+
+    # first attempt "dies" after 1 chunk: simulate by importing with a
+    # monkeypatched merge that raises on the second chunk
+    calls = {"n": 0}
+    orig_merge = LakeTable.merge
+
+    def dying_merge(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill")
+        return orig_merge(self, *a, **kw)
+
+    LakeTable.merge = dying_merge
+    try:
+        try:
+            import_into_table(spark, tdir, src, fmt="csv", batch_size=100)
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable.merge = orig_merge
+
+    t = LakeTable.load(spark, tdir)
+    assert t.count() == 100  # one committed chunk
+    # resume: same call; chunk 0 must be skipped by the (stream, batch)
+    # guard, chunks 1..2 applied with the ORIGINAL start offset
+    res = import_into_table(spark, tdir, src, fmt="csv", batch_size=100)
+    t = LakeTable.load(spark, tdir)
+    assert t.count() == 300
+    offs = sorted(r["_last_offset"] for r in t.read().select("_last_offset").collect())
+    assert offs == list(range(300))  # offsets are the clean-run offsets
+    # lineage totals across BOTH attempts equal a clean run's (300
+    # events applied once)
+    assert t.manifest["lineage_totals"]["applied"] == 300
+    assert t.manifest["lineage_totals"]["events"] == 300
+    assert res["batches"] == 3
+    # a fresh import AFTER completion is not skipped (new start)
+    res2 = import_into_table(spark, tdir, src, fmt="csv", batch_size=100)
+    assert not res2["skipped"]
+    assert LakeTable.load(spark, tdir).count() == 300  # LWW idempotent
+
+
+def test_import_repartitioned_source_unique_offsets(spark, tmp_path):
+    """A NON-file source (repartition ⇒ shuffle upstream, AQE-planned)
+    must still synthesize unique offsets: the persist pins partition
+    ids between the sizes job and the merge jobs, and
+    validate_offsets=True would fail loudly otherwise."""
+    src_df = (
+        spark.range(0, 2000)
+        .select(
+            F.concat(F.lit("r"), (F.col("id") % 13).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.col("id").cast("string").alias("content"),
+        )
+        .repartition(7)  # shuffle: partition ids exist only at runtime
+    )
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    res = import_into_table(
+        spark, tdir, "mem-source", fmt="csv", source_df=src_df, batch_size=700
+    )
+    assert res["totals"]["applied"] == 2000
+    assert res["totals"]["deduped"] == 0
+    t = LakeTable.load(spark, tdir)
+    assert t.count() == 2000
+    offs = [r["_last_offset"] for r in t.read().select("_last_offset").collect()]
+    assert len(set(offs)) == 2000
