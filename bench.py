@@ -139,6 +139,7 @@ def run_cdc_apply(spark, log_dir: str, table_dir: str, batches: int = 8,
     t0 = time.monotonic()
     lo = 0
     b = 0
+    write_sec = 0.0
     while lo < n:
         chunk = events.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
         table = LakeTable.load(spark, table_dir)
@@ -148,6 +149,7 @@ def run_cdc_apply(spark, log_dir: str, table_dir: str, batches: int = 8,
             winner_estimate=est,
             layout=os.environ.get("SPARK_GRAFT_LAYOUT", "cluster"),
         )
+        write_sec += getattr(table, "last_write_sec", 0.0)
         lo += step
         b += 1
     wall = time.monotonic() - t0
@@ -156,6 +158,7 @@ def run_cdc_apply(spark, log_dir: str, table_dir: str, batches: int = 8,
         "batches": b,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n / wall, 1),
+        "write_sec": round(write_sec, 3),
         "final_rows": table.refresh().count(),
     }
     if leg_cpus:  # busy CPU on the capped cores across the timed window
@@ -392,15 +395,32 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         spark.stop()  # free the 32 cores before the capped legs run
         try:
-            # one interleaved N/4N pair at 16M events keeps the
-            # per-round record bounded (~4 min); the curated 32M ×
-            # 4-rep dossier lives in BENCH/BASELINE.md
+            # THREE interleaved N/4N rep pairs at 16M events, median
+            # per leg — this host's vCPU drift makes a single rep
+            # meaningless (observed ±30% on identical back-to-back
+            # legs; r2 recorded 0.56 from one rep while 4-rep medians
+            # measured 0.69–0.72). The curated 32M × 4-rep dossier
+            # lives in BENCH/BASELINE.md.
             out["scaling"] = scaling(
                 int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")),
                 800_000, repeat=repeat, batches=1,
+                reps=int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")),
             )
         except Exception as e:  # keep the headline record even if a leg dies
             out["scaling_error"] = str(e)[-500:]
+        try:
+            # control: vanilla-Spark exchange (repartition+count, zero
+            # engine code) through the SAME capped legs — the framework
+            # ceiling any exchange-bearing job on this single box can
+            # reach (a real cluster scales this with nodes). Recorded
+            # alongside so the engine's number has its measured bound.
+            out["scaling_control_exchange"] = scaling(
+                int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")),
+                800_000, repeat=repeat, batches=1, variant="shuffle",
+                write_md=False,
+            )
+        except Exception as e:
+            out["scaling_control_error"] = str(e)[-500:]
     return out
 
 
@@ -408,7 +428,7 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
             lo: int = 1, hi: int = 4, executor_mode: bool = True,
             exec_cores: int = 2, driver_cpus: int = 0,
             scan_only: bool = False, variant: str = "",
-            reps: int = 1) -> dict:
+            reps: int = 1, write_md: bool = True) -> dict:
     """Run the CDC job at two parallelism levels in fresh JVMs.
 
     ``executor_mode`` (default) uses Spark local-cluster with lo/hi
@@ -421,6 +441,11 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
     small-cluster leg over-measures (observed 4-8 busy host cores for
     a nominal 2-core run). The driver allotment is constant across
     legs, as on a real cluster where the driver node doesn't grow."""
+    # Run the legs away from cpu0..: background daemons and the build
+    # harness sit on the low cores and rob the small leg (measured >100%
+    # busy on capped cores before the offset; see BENCH/BASELINE.md)
+    if "SPARK_GRAFT_CPU_BASE" not in os.environ and (os.cpu_count() or 0) >= 32:
+        os.environ["SPARK_GRAFT_CPU_BASE"] = "16"
     _bench_log(num_events, num_keys, repeat)  # pre-generate so gen isn't timed
     out = {}
     all_reps: dict[int, list] = {lo: [], hi: []}
@@ -499,7 +524,17 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
-    _write_baseline_md(result, out, lo, hi)
+    if out[lo].get("write_sec") and out[hi].get("write_sec"):
+        # steady-state ratio: the Spark write-job walls alone (driver
+        # planning/commit phases excluded — at production batch sizes
+        # they amortize to zero; see the Amdahl table in
+        # BENCH/BASELINE.md)
+        w_eff = (out[lo]["write_sec"] / out[hi]["write_sec"]) / (hi / lo)
+        result["write_sec_N"] = out[lo]["write_sec"]
+        result["write_sec_4N"] = out[hi]["write_sec"]
+        result["write_phase_efficiency"] = round(w_eff, 3)
+    if write_md:
+        _write_baseline_md(result, out, lo, hi)
     return result
 
 

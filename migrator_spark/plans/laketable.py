@@ -400,16 +400,14 @@ class LakeTable:
             F.max(order_col).alias(order_col), F.count(F.lit(1)).alias("_n")
         )
         # ALL lineage that depends on per-key event counts rides as
-        # observe() metrics ON THE AGG inside the broadcast subquery
-        # (metrics from broadcast subqueries do fire): global events /
-        # winners / max offset, plus per-bucket event sums as B
-        # conditional aggregates over the (small) winner set. This lets
-        # the probe broadcast carry OFFSETS ONLY — measured decisive
-        # for scaling: the (offset, _n) map at ~1.4M winners exceeds
-        # what stays cache-resident when every executor holds a copy
-        # (N→4N efficiency 0.74 with the fat map vs 0.81 with the slim
-        # one on the isolated join stage), and the fat scan probes it
-        # 32M times per batch.
+        # observe() metrics inside the broadcast subquery (metrics from
+        # broadcast subqueries do fire). This lets the probe broadcast
+        # carry OFFSETS ONLY — measured decisive for scaling: the
+        # (offset, _n) map at ~1.4M winners exceeds what stays
+        # cache-resident when every executor holds a copy (N→4N
+        # efficiency 0.74 with the fat map vs 0.81 with the slim one on
+        # the isolated join stage), and the fat scan probes it 32M
+        # times per batch.
         from pyspark.sql import Observation
 
         per_bucket_obs = (
@@ -423,15 +421,10 @@ class LakeTable:
             F.max(order_col).alias("max_offset"),
         ]
         if per_bucket_obs:
-            # bucket id materialized ONCE as a column (_wb): the B
-            # conditional sums then test a cached int instead of
-            # re-hashing the key strings B times per row
+            # bucket id materialized ONCE as a column (_wb), consumed
+            # by the 64-row per-bucket branch below (broadcast path) or
+            # the conditional-sum metrics (shuffle fallback)
             wmax = wmax.withColumn("_wb", bucket_expr(key_cols, b_total))
-            obs_w_exprs += [
-                F.sum(F.when(F.col("_wb") == b, F.col("_n")).otherwise(0)).alias(f"ev_{b}")
-                for b in range(b_total)
-            ]
-        wmax_o = wmax.observe(obs_w, *obs_w_exprs)
         # Enforce broadcast_winner_limit WITHOUT a per-merge count job
         # (measured: an always-on count+persist cost ~20% throughput at
         # 8 cores): estimate this batch's winner count from the
@@ -468,6 +461,55 @@ class LakeTable:
         else:
             use_broadcast = wmax.count() <= broadcast_winner_limit
             t = _tlog("winner-count-job", t)
+        # Per-bucket event sums must NOT ride the per-winner-row path:
+        # B conditional aggregates in a CollectMetrics node are
+        # evaluated interpreted for every one of the ~winners rows
+        # flowing to the broadcast — measured ~30% of merge wall at 64
+        # buckets (A/B, 2M events). Instead the winner agg is re-read
+        # by a 64-ROW branch (groupBy bucket → sum(_n)) whose B
+        # conditional metrics cost B×B evaluations total; the branch is
+        # forced to execute by unioning its (empty) output into the
+        # broadcast build. The shuffled winner exchange is shared
+        # between the two consumers (ReusedExchange), so the slim scan
+        # and partial agg run once.
+        obs_b = None
+        if per_bucket_obs and use_broadcast:
+            obs_b = Observation()
+            wb = (
+                wmax.groupBy("_wb")
+                # _mo is never consumed downstream but IS observed: it
+                # keeps max(offset) alive in this branch so its scan +
+                # partial agg + exchange canonicalize IDENTICALLY to
+                # the offsets branch — without it, column pruning drops
+                # `offset` from this branch's scan, the two exchanges
+                # differ, and the whole slim scan + key agg runs twice
+                # (measured ~30% of merge wall)
+                .agg(F.sum("_n").alias("_s"), F.max(order_col).alias("_mo"))
+                .observe(
+                    obs_b,
+                    F.max("_mo").alias("_mo_b"),
+                    *[
+                        F.sum(F.when(F.col("_wb") == b, F.col("_s"))).alias(f"ev_{b}")
+                        for b in range(b_total)
+                    ],
+                )
+                # _s = sum of per-key counts >= 1, so this filter keeps
+                # ZERO rows — but Catalyst cannot fold it away, so the
+                # branch (and its metrics) still executes as part of
+                # the broadcast build, and no synthetic offset value
+                # can ever collide with a real one
+                .filter(F.col("_s") < 0)
+                .select(F.col("_s").alias(order_col))
+            )
+        elif per_bucket_obs:
+            # shuffle fallback (giant winner sets): the fat payload
+            # shuffle dominates, so the B conditional metrics on the
+            # winner agg are relatively cheap here — keep them inline
+            obs_w_exprs += [
+                F.sum(F.when(F.col("_wb") == b, F.col("_n")).otherwise(0)).alias(f"ev_{b}")
+                for b in range(b_total)
+            ]
+        wmax_o = wmax.observe(obs_w, *obs_w_exprs)
         # Offsets are unique per batch, so the winner set is fully
         # identified by its offsets: broadcast the slim OFFSET column
         # (8 B/entry) and inner-join on offset — a map-side broadcast
@@ -480,6 +522,8 @@ class LakeTable:
         # skew even then).
         if use_broadcast:
             woff = wmax_o.select(F.col(order_col))
+            if obs_b is not None:
+                woff = woff.unionByName(wb)
             winners = ev.join(F.broadcast(woff), on=order_col, how="inner")
         else:
             winners = ev.join(
@@ -579,11 +623,14 @@ class LakeTable:
             "deduped": int(mw["events"] - m["winners"]),
             "deleted": int(m["deletes"]),
         }
-        # join the two per-bucket sources: events from the observed agg
-        # (ev_b sums), winners/deletes from the staged footers
+        # join the two per-bucket sources: events from the observed
+        # metrics (the 64-row branch on the broadcast path, the inline
+        # conditionals on the shuffle path), winners/deletes from the
+        # staged footers
         if per_bucket_obs:
+            mb = obs_b.get if obs_b is not None else mw
             for b, s in per_bucket.items():
-                s["events"] = int(mw.get(f"ev_{b}") or 0)
+                s["events"] = int(mb.get(f"ev_{b}") or 0)
                 s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
         new_buckets = dict(manifest["buckets"])
         new_rows = dict(manifest.get("bucket_rows", {}))
@@ -639,7 +686,7 @@ class LakeTable:
         primitive every target FS offers (HDFS rename; on S3 the
         manifest itself is the commit, since it names every file)."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        t = time.monotonic()
+        t = t_write0 = time.monotonic()
         if layout == "fanout":
             # no exchange: writers keep a file open per bucket they see
             shaped = df.coalesce(max(1, min(n_partitions, 200)))
@@ -654,6 +701,9 @@ class LakeTable:
             .parquet(staging)
         )
         t = _tlog("write-job", t)
+        # write-phase wall for the scaling bench's steady-state ratio
+        # (driver/commit phases excluded)
+        self.last_write_sec = t - t_write0
         commit_rel = f"data/commit-v{next_version:08d}"
         commit_abs = os.path.join(self.path, commit_rel)
         # Crash-retry safety: a prior attempt can die AFTER promoting
