@@ -119,6 +119,128 @@ class LocalTableIO(TableIO):
         shutil.rmtree(path, ignore_errors=True)
 
 
+class PyArrowTableIO(TableIO):
+    """``pyarrow.fs.FileSystem``-backed implementation — the portable
+    path off POSIX. One class covers every filesystem pyarrow speaks
+    (LocalFileSystem, HadoopFileSystem, S3FileSystem, GcsFileSystem);
+    tests run it against LocalFileSystem, production points it at the
+    object store Spark's own writers already target.
+
+    Semantics per backend:
+
+    - ``atomic_put=False`` (local/HDFS default): ``write_text_atomic``
+      stages a temp object and promotes it with ``fs.move`` — the
+      namenode rename on HDFS, ``rename(2)`` locally.
+    - ``atomic_put=True`` (object stores): a SINGLE PUT is already
+      atomic-visibility (S3 strong consistency since 2020), so docs are
+      written directly. The mutable HEAD pointer additionally needs the
+      single-writer swap: S3 conditional PUT (``If-Match``/
+      ``If-None-Match``, GA 2024) — pyarrow's S3 filesystem does not
+      expose conditional headers, so deployments wanting multi-writer
+      safety put HEAD behind a conditional-PUT shim or a catalog
+      service, exactly as Iceberg does. Under this engine's documented
+      single-writer contract (module docstring of laketable.py) the
+      plain PUT is sufficient.
+    - ``rename`` of the staged COMMIT DIRECTORY: real move on
+      local/HDFS. On S3 there is no directory rename — but none is
+      needed for correctness, because the snapshot manifest names every
+      data file explicitly and readers only see files the manifest
+      lists; ``atomic_put=True`` therefore performs the promotion as a
+      per-file server-side copy+delete (object stores batch these), an
+      availability optimization of layout, not a correctness step.
+    """
+
+    def __init__(self, fs=None, atomic_put: bool = False):
+        if fs is None:
+            from pyarrow.fs import LocalFileSystem
+
+            fs = LocalFileSystem()
+        self.fs = fs
+        self.atomic_put = atomic_put
+
+    def _info(self, path: str):
+        return self.fs.get_file_info([path])[0]
+
+    def read_text(self, path: str) -> str:
+        with self.fs.open_input_stream(path) as f:
+            return f.read().decode("utf-8")
+
+    def _put(self, path: str, text: str) -> None:
+        with self.fs.open_output_stream(path) as f:
+            f.write(text.encode("utf-8"))
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        parent = posixpath.dirname(path)
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        if self.atomic_put:
+            self._put(path, text)  # single PUT is atomic on object stores
+            return
+        import uuid as _uuid
+
+        tmp = f"{path}.tmp.{_uuid.uuid4().hex[:8]}"
+        self._put(tmp, text)
+        self.fs.move(tmp, path)
+
+    def exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._info(path).type != FileType.NotFound
+
+    def makedirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector, FileType
+
+        if self._info(path).type == FileType.NotFound:
+            return []
+        sel = FileSelector(path, recursive=False)
+        return sorted(posixpath.basename(i.path.rstrip("/")) for i in self.fs.get_file_info(sel))
+
+    def rename(self, src: str, dst: str) -> None:
+        from pyarrow.fs import FileSelector, FileType
+
+        parent = posixpath.dirname(dst)
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        if not self.atomic_put:
+            self.fs.move(src, dst)
+            return
+        # object store: no directory rename — copy each staged object
+        # to its final key, then drop the staging prefix (the manifest,
+        # not the directory layout, is the commit)
+        if self._info(src).type == FileType.File:
+            self.fs.copy_file(src, dst)
+            self.fs.delete_file(src)
+            return
+        sel = FileSelector(src, recursive=True)
+        for i in self.fs.get_file_info(sel):
+            if i.type == FileType.File:
+                rel = i.path[len(src):].lstrip("/")
+                target = f"{dst}/{rel}"
+                tparent = posixpath.dirname(target)
+                if tparent:
+                    self.fs.create_dir(tparent, recursive=True)
+                self.fs.copy_file(i.path, target)
+        self.fs.delete_dir(src)
+
+    def remove(self, path: str) -> None:
+        from pyarrow.fs import FileType
+
+        if self._info(path).type == FileType.File:
+            self.fs.delete_file(path)
+
+    def rmtree(self, path: str) -> None:
+        from pyarrow.fs import FileType
+
+        t = self._info(path).type
+        if t == FileType.Directory:
+            self.fs.delete_dir(path)
+        elif t == FileType.File:
+            self.fs.delete_file(path)
+
+
 class MemTableIO(TableIO):
     """Dict-backed fake for protocol tests: directories are implicit
     (like an object store), renames move whole key prefixes."""
