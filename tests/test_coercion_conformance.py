@@ -91,3 +91,94 @@ def test_timestamp_three_layouts(spark):
     assert row["pa"].isoformat().startswith("2024-03-05T06:07:08")
     assert row["pb"].microsecond == 123456
     assert row["pc"].microsecond == 123456
+
+
+def test_binary_payload_roundtrip_through_laketable(spark, tmp_path):
+    """A BinaryType payload column survives the full merge →
+    delta-append → LWW read path bit-exactly, including non-UTF8 bytes
+    (reference []byte lane, base.go:688-698: bytes are stored raw, not
+    stringified)."""
+    from migrator_spark.plans.laketable import LakeTable
+
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    tdir = str(tmp_path / "t")
+    t = LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=4)
+    b1 = bytes([0, 255, 128, 10, 13, 0x80, 0xFE])  # invalid UTF-8 on purpose
+    b2 = bytes(range(256))
+    env = spark.createDataFrame(
+        [(0, "insert", "r", "a", bytearray(b1)), (1, "insert", "r", "b", bytearray(b2))],
+        T.StructType(
+            [
+                T.StructField("offset", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("repo", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        ),
+    )
+    t.merge(env, stream_id="s", batch_id=0)
+    # update one key: LWW must pick the new bytes
+    env2 = spark.createDataFrame(
+        [(2, "update", "r", "a", bytearray(b2[::-1]))], env.schema
+    )
+    t.merge(env2, stream_id="s", batch_id=1)
+    rows = {r["path"]: bytes(r["blob"]) for r in t.refresh().read().collect()}
+    assert rows["a"] == b2[::-1]
+    assert rows["b"] == b2
+    t.compact()
+    rows = {r["path"]: bytes(r["blob"]) for r in t.refresh().read().collect()}
+    assert rows["a"] == b2[::-1] and rows["b"] == b2
+
+
+def test_uint64_past_long_max_through_laketable(spark, tmp_path):
+    """True uint64-range ingestion: a DECIMAL(20,0) payload column
+    holding values > Long.MAX round-trips exactly through merge,
+    delta resolution, and compaction (the reference's uint64 lane,
+    base.go:645-658 + base_test.go uint cases)."""
+    from decimal import Decimal
+
+    from migrator_spark.plans.laketable import LakeTable
+
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("u", T.DecimalType(20, 0), True),
+        ]
+    )
+    tdir = str(tmp_path / "t")
+    t = LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=4)
+    umax = Decimal("18446744073709551615")        # uint64 max > Long.MAX
+    mid = Decimal("9223372036854775808")          # Long.MAX + 1
+    env_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("u", T.DecimalType(20, 0)),
+        ]
+    )
+    t.merge(
+        spark.createDataFrame([(0, "insert", "r", "a", umax), (1, "insert", "r", "b", mid)],
+                              env_schema),
+        stream_id="s", batch_id=0,
+    )
+    t.merge(
+        spark.createDataFrame([(2, "update", "r", "b", umax - 1)], env_schema),
+        stream_id="s", batch_id=1,
+    )
+    t.compact()
+    rows = {r["path"]: r["u"] for r in t.refresh().read().collect()}
+    assert rows["a"] == umax
+    assert rows["b"] == umax - 1
+    # arithmetic beyond int64 stays exact in-engine
+    got = t.read().agg(F.sum("u").alias("s")).first()["s"]
+    assert got == umax + (umax - 1)
