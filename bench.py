@@ -314,6 +314,69 @@ def run_scan_only(spark, log_dir: str) -> dict:
     return out
 
 
+def read_amp(num_events: int = 2_000_000, num_keys: int = 200_000,
+             batches: int = 16, thresholds=(None, 16, 8, 4)) -> list[dict]:
+    """Merge-on-read read amplification vs compaction policy: the same
+    log applied in ``batches`` commits under each ``compact_threshold``;
+    after the full apply, measure read() (LWW-resolve + count) latency,
+    live file count, and mean delta-chain length. Quantifies the
+    10^10-scale read-cost claim in plans/laketable.py's docstring."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from migrator_spark.functions.transforms import default_cdc_transform
+    from migrator_spark.plans.laketable import LakeTable
+    from migrator_spark.schema import ENVELOPE_SCHEMA, KEY_COLS, PAYLOAD_FIELDS
+    from migrator_spark.session import get_spark
+
+    spark = get_spark("bench-read-amp", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    log_dir = _bench_log(num_events, num_keys, 2)
+    events = spark.read.schema(ENVELOPE_SCHEMA).parquet(f"{log_dir}/events-*.parquet")
+    n = events.count()
+    step = -(-n // batches)
+    payload = T.StructType(
+        PAYLOAD_FIELDS + [T.StructField("content_sha256", T.StringType(), True)]
+    )
+    rows = []
+    for thr in thresholds:
+        tdir = os.path.join(BENCH_ROOT, f"table-readamp-{thr}")
+        shutil.rmtree(tdir, ignore_errors=True)
+        LakeTable.create(spark, tdir, payload, KEY_COLS, num_buckets=64)
+        t_apply0 = time.monotonic()
+        for b in range(batches):
+            t = LakeTable.load(spark, tdir)
+            t.merge(
+                events.filter(
+                    (F.col("offset") >= b * step) & (F.col("offset") < (b + 1) * step)
+                ),
+                stream_id="ra", batch_id=b, salt_buckets=32,
+                transform=default_cdc_transform, compact_threshold=thr,
+                winner_estimate=num_keys,
+            )
+        apply_sec = time.monotonic() - t_apply0
+        t = LakeTable.load(spark, tdir)
+        files = sum(len(fl) for fl in t.manifest["buckets"].values())
+        chains = [len(fl) for fl in t.manifest["buckets"].values()]
+        t.read().count()  # warm (plan + page cache)
+        reps = []
+        for _ in range(3):
+            r0 = time.monotonic()
+            t.read().count()
+            reps.append(time.monotonic() - r0)
+        rows.append({
+            "compact_threshold": thr or 0,
+            "apply_sec": round(apply_sec, 2),
+            "read_sec_median": round(sorted(reps)[1], 3),
+            "live_files": files,
+            "mean_chain": round(sum(chains) / max(len(chains), 1), 1),
+            "max_chain": max(chains) if chains else 0,
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return rows
+
+
 def cdc_only(cores: int, num_events: int, num_keys: int, repeat: int = 2,
              batches: int = 8, executors: int = 0, exec_cores: int = 2,
              scan_only: bool = False, variant: str = "") -> dict:
@@ -605,7 +668,12 @@ def main() -> int:
                     help="engine-free parquet-decode control job (bus-ceiling measurement)")
     ap.add_argument("--thread-scaling", action="store_true",
                     help="scaling mode: scale local[N] threads instead of executor JVMs")
+    ap.add_argument("--read-amp", action="store_true",
+                    help="read-amplification vs compact_threshold sweep")
     args = ap.parse_args()
+    if args.read_amp:
+        print(json.dumps(read_amp(args.events, args.keys, batches=args.batches or 16)))
+        return 0
     if args.cdc_only:
         print(json.dumps(cdc_only(args.cores or CPUS, args.events, args.keys,
                                   args.repeat or 2, args.batches,

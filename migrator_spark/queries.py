@@ -846,6 +846,33 @@ ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
+def q_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN quality gate: recall@10 of the LSH-pruned index
+    against the exact brute-force top-10 — measured, not assumed. The
+    oracle recomputes BOTH sides in SQL, so an index bug shows up as a
+    recall drop AND a hash mismatch."""
+    ann = q_ann_lsh_topk(spark, sf_dir).select("vec_id")
+    exact = q_embedding_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(ann, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / 10.0, 4).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL_AT_10 = f"""
+SELECT CAST(10 AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       ROUND(COUNT(*) / 10.0, 4) AS recall
+FROM ({SQL_EMBEDDING_TOPK}) e
+JOIN ({SQL_ANN_LSH_TOPK}) a USING (vec_id)
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
     blocking + exact cosine verify (operators/similarity.py). The md5
@@ -1002,6 +1029,7 @@ QUERIES = {
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_recall_at_10": q_ann_recall_at_10,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_image_features": q_multimodal_image_features,
 }
@@ -1036,6 +1064,7 @@ ORACLES = {
     "simhash_dups": SQL_SIMHASH_DUPS,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_recall_at_10": SQL_ANN_RECALL_AT_10,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
 }
