@@ -463,52 +463,20 @@ class LakeTable:
             t = _tlog("winner-count-job", t)
         # Per-bucket event sums must NOT ride the per-winner-row path:
         # B conditional aggregates in a CollectMetrics node are
-        # evaluated interpreted for every one of the ~winners rows
-        # flowing to the broadcast — measured ~30% of merge wall at 64
-        # buckets (A/B, 2M events). Instead the winner agg is re-read
-        # by a 64-ROW branch (groupBy bucket → sum(_n)) whose B
-        # conditional metrics cost B×B evaluations total; the branch is
-        # forced to execute by unioning its (empty) output into the
-        # broadcast build. The shuffled winner exchange is shared
-        # between the two consumers (ReusedExchange), so the slim scan
-        # and partial agg run once.
-        obs_b = None
-        if per_bucket_obs and use_broadcast:
-            obs_b = Observation()
-            wb = (
-                wmax.groupBy("_wb")
-                # _mo is never consumed downstream but IS observed: it
-                # keeps max(offset) alive in this branch so its scan +
-                # partial agg + exchange canonicalize IDENTICALLY to
-                # the offsets branch — without it, column pruning drops
-                # `offset` from this branch's scan, the two exchanges
-                # differ, and the whole slim scan + key agg runs twice
-                # (measured ~30% of merge wall)
-                .agg(F.sum("_n").alias("_s"), F.max(order_col).alias("_mo"))
-                .observe(
-                    obs_b,
-                    F.max("_mo").alias("_mo_b"),
-                    *[
-                        F.sum(F.when(F.col("_wb") == b, F.col("_s"))).alias(f"ev_{b}")
-                        for b in range(b_total)
-                    ],
-                )
-                # _s = sum of per-key counts >= 1, so this filter keeps
-                # ZERO rows — but Catalyst cannot fold it away, so the
-                # branch (and its metrics) still executes as part of
-                # the broadcast build, and no synthetic offset value
-                # can ever collide with a real one
-                .filter(F.col("_s") < 0)
-                .select(F.col("_s").alias(order_col))
-            )
-        elif per_bucket_obs:
-            # shuffle fallback (giant winner sets): the fat payload
-            # shuffle dominates, so the B conditional metrics on the
-            # winner agg are relatively cheap here — keep them inline
-            obs_w_exprs += [
-                F.sum(F.when(F.col("_wb") == b, F.col("_n")).otherwise(0)).alias(f"ev_{b}")
-                for b in range(b_total)
-            ]
+        # evaluated interpreted for every winner row flowing to the
+        # broadcast (~14% of single-batch wall at 64 buckets, 16M
+        # events, A/B-measured), and a plan-level side branch re-reads
+        # the winner exchange's ~10M partial rows (similar cost).
+        # Instead the slim winner agg is PERSISTED: the broadcast build
+        # (or the shuffle-fallback join) materializes the cache as a
+        # side effect of the main action, and per-bucket events come
+        # from a post-action 64-row aggregation over the cached
+        # ~O(winners) slim rows — one tiny extra job, no per-row
+        # metric evaluation, no second pass over the exchange.
+        if per_bucket_obs:
+            from pyspark import StorageLevel
+
+            wmax = wmax.persist(StorageLevel.MEMORY_AND_DISK)
         wmax_o = wmax.observe(obs_w, *obs_w_exprs)
         # Offsets are unique per batch, so the winner set is fully
         # identified by its offsets: broadcast the slim OFFSET column
@@ -522,8 +490,6 @@ class LakeTable:
         # skew even then).
         if use_broadcast:
             woff = wmax_o.select(F.col(order_col))
-            if obs_b is not None:
-                woff = woff.unionByName(wb)
             winners = ev.join(F.broadcast(woff), on=order_col, how="inner")
         else:
             winners = ev.join(
@@ -610,6 +576,8 @@ class LakeTable:
         if not staged or not m.get("winners"):  # empty batch: record the commit
             # (don't touch obs_w here: an all-empty plan can prune the
             # broadcast subquery so its metrics never materialize)
+            if per_bucket_obs:
+                wmax.unpersist()
             return self._commit(
                 manifest["buckets"], dict(manifest.get("bucket_rows", {})),
                 new_table_schema, stream_id, batch_id,
@@ -623,14 +591,18 @@ class LakeTable:
             "deduped": int(mw["events"] - m["winners"]),
             "deleted": int(m["deletes"]),
         }
-        # join the two per-bucket sources: events from the observed
-        # metrics (the 64-row branch on the broadcast path, the inline
-        # conditionals on the shuffle path), winners/deletes from the
+        # join the two per-bucket sources: events from the post-action
+        # aggregation over the CACHED winner agg (populated by the main
+        # action's broadcast build / join), winners/deletes from the
         # staged footers
         if per_bucket_obs:
-            mb = obs_b.get if obs_b is not None else mw
+            t = time.monotonic()
+            ev_rows = wmax.groupBy("_wb").agg(F.sum("_n").alias("_s")).collect()
+            wmax.unpersist()
+            t = _tlog("per-bucket-events-job", t)
+            ev_by_b = {int(r["_wb"]): int(r["_s"]) for r in ev_rows}
             for b, s in per_bucket.items():
-                s["events"] = int(mb.get(f"ev_{b}") or 0)
+                s["events"] = ev_by_b.get(b, 0)
                 s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
         new_buckets = dict(manifest["buckets"])
         new_rows = dict(manifest.get("bucket_rows", {}))

@@ -985,8 +985,10 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("props").alias("last_props"),
     )
-    # materialize before the temp table is GC'd by the OS later;
-    # .cache + count pins the result
+    # TEST-HARNESS ONLY: pin the result before the tempdir table goes
+    # away (the driver collects the returned DataFrame later). The
+    # production path never caches merged state or collects offsets
+    # driver-side — jobs/run.py reads tables in place.
     out = out.cache()
     out.count()
     return out
