@@ -62,12 +62,16 @@ def test_winner_join_fallback_past_broadcast_limit(spark, tmp_path):
     the exact same table state."""
     rows = [(i, "insert", f"r{i % 5}", f"p{i}", f"c{i}") for i in range(100)]
     ta = LakeTable.create(spark, str(tmp_path / "a"), PAYLOAD, ["repo", "path"], num_buckets=4)
-    ta.merge(_env(spark, rows), broadcast_winner_limit=3)  # forces shuffle join
+    ra = ta.merge(_env(spark, rows), broadcast_winner_limit=3)  # forces shuffle join
     tb = LakeTable.create(spark, str(tmp_path / "b"), PAYLOAD, ["repo", "path"], num_buckets=4)
-    tb.merge(_env(spark, rows))  # broadcast path
+    rb = tb.merge(_env(spark, rows))  # broadcast path
     a = {(r["repo"], r["path"], r["content"]) for r in ta.read().collect()}
     b = {(r["repo"], r["path"], r["content"]) for r in tb.read().collect()}
     assert a == b and len(a) == 100
+    assert not ra["used_broadcast"] and rb["used_broadcast"]
+    # per-bucket lineage is identical and exact on BOTH join paths
+    assert ra["per_bucket"] == rb["per_bucket"]
+    assert sum(s["events"] for s in ra["per_bucket"].values()) == 100
 
 
 def test_winner_estimate_reused_across_batches(spark, tmp_path):
