@@ -410,8 +410,11 @@ class LakeTable:
         # times per batch.
         from pyspark.sql import Observation
 
+        # The post-action per-bucket job returns one row per bucket —
+        # its cost no longer scales with B (the old CollectMetrics
+        # design capped B at 256); 65536 bounds the driver collect.
         per_bucket_obs = (
-            per_bucket_lineage and b_total <= 256
+            per_bucket_lineage and b_total <= 65536
             and not os.environ.get("SPARK_GRAFT_NO_BUCKET_OBS")
         )
         obs_w = Observation()
@@ -717,8 +720,9 @@ class LakeTable:
                     b, {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
                 )
                 # events/deduped are joined in afterwards from the
-                # observed agg metrics (merge(); unavailable when
-                # num_buckets > 256 — they stay 0 there, documented)
+                # cached-winner-agg post-action job (merge();
+                # unavailable past the 65536-bucket collect bound —
+                # they stay 0 there, documented)
                 s["applied"] += n - deletes
                 s["deleted"] += deletes
         return out, rows, stats
