@@ -399,12 +399,13 @@ class LakeTable:
         wmax = slim.groupBy(*key_cols).agg(
             F.max(order_col).alias(order_col), F.count(F.lit(1)).alias("_n")
         )
-        # ALL lineage that depends on per-key event counts rides as
-        # observe() metrics inside the broadcast subquery (metrics from
-        # broadcast subqueries do fire). This lets the probe broadcast
-        # carry OFFSETS ONLY — measured decisive for scaling: the
-        # (offset, _n) map at ~1.4M winners exceeds what stays
-        # cache-resident when every executor holds a copy (N→4N
+        # GLOBAL lineage (events/winners/max offset) rides as observe()
+        # metrics inside the broadcast subquery (metrics from broadcast
+        # subqueries do fire); per-bucket events come from a post-action
+        # job over the persisted winner agg (below). This lets the
+        # probe broadcast carry OFFSETS ONLY — measured decisive for
+        # scaling: the (offset, _n) map at ~1.4M winners exceeds what
+        # stays cache-resident when every executor holds a copy (N→4N
         # efficiency 0.74 with the fat map vs 0.81 with the slim one on
         # the isolated join stage), and the fat scan probes it 32M
         # times per batch.
@@ -424,9 +425,8 @@ class LakeTable:
             F.max(order_col).alias("max_offset"),
         ]
         if per_bucket_obs:
-            # bucket id materialized ONCE as a column (_wb), consumed
-            # by the 64-row per-bucket branch below (broadcast path) or
-            # the conditional-sum metrics (shuffle fallback)
+            # bucket id materialized ONCE as a column (_wb): it rides
+            # the cached winner agg into the post-action per-bucket job
             wmax = wmax.withColumn("_wb", bucket_expr(key_cols, b_total))
         # Enforce broadcast_winner_limit WITHOUT a per-merge count job
         # (measured: an always-on count+persist cost ~20% throughput at
@@ -537,9 +537,11 @@ class LakeTable:
         # read cost once a bucket's delta chain passes
         # ``compact_threshold``.
         #
-        # The write is the merge's ONLY wide Spark action: per-key
-        # event counts never leave the observed agg (above), so the
-        # delta files carry only payload + offset + tombstone flag;
+        # The write is the merge's only wide Spark action (the
+        # per-bucket lineage job afterwards reads the cached winner
+        # agg, not the log): per-key event counts never leave the slim
+        # agg, so the delta files carry only payload + offset +
+        # tombstone flag;
         # per-bucket winner/delete counters come from a driver-side
         # pyarrow read of the staged footers + one tiny boolean column
         # (no extra Spark job, no collect — the round-1 version's
