@@ -481,6 +481,7 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
                 int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")),
                 800_000, repeat=repeat, batches=1, variant="shuffle",
                 write_md=False,
+                reps=int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")),
             )
         except Exception as e:
             out["scaling_control_error"] = str(e)[-500:]
