@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     imp.add_argument("--table", required=True)
     imp.add_argument("--src", required=True)
     imp.add_argument("--format", default="csv", choices=["csv", "parquet", "jsonl"])
+    imp.add_argument("--batch-size", type=int, default=0,
+                     help="rows per commit (0 = single commit); a killed "
+                          "chunked import resumes exactly on re-run")
     imp.add_argument("--cores", type=int, default=None)
 
     exp = sub.add_parser("export", help="table -> file (reference Export)")
@@ -144,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
         from migrator_spark.sources.files import import_into_table
 
         spark = get_spark("migrator-import", cores=args.cores)
-        res = import_into_table(spark, args.table, args.src, fmt=args.format)
+        res = import_into_table(spark, args.table, args.src, fmt=args.format,
+                                batch_size=args.batch_size or None)
         print(json.dumps({k: v for k, v in res.items() if k != "per_bucket"}))
         return 0
 

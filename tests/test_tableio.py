@@ -163,3 +163,44 @@ def test_lake_table_full_cycle_on_pyarrow_io(spark, tmp_path):
     assert rows2 == {"a": "x2", "c": "z"}
     # exactly-once guard survived the cycle
     assert t2.manifest["committed"]["s"] == 2
+
+
+def test_lake_table_full_cycle_object_store_mode(spark, tmp_path):
+    """Same full cycle with atomic_put=True: commit promotion is the
+    S3-shaped per-file copy + staging delete, docs are direct PUTs —
+    the exact op sequence an object-store deployment performs."""
+    from pyspark.sql import types as T
+
+    from migrator_spark.plans.laketable import LakeTable
+    from migrator_spark.plans.tableio import PyArrowTableIO
+
+    io = PyArrowTableIO(atomic_put=True)
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    tdir = str(tmp_path / "t")
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows, "offset long, op string, repo string, path string, content string"
+        )
+
+    t = LakeTable.create(spark, tdir, payload, ["repo", "path"], num_buckets=4, io=io)
+    t.merge(env([(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0,
+            compact_threshold=None)
+    t.merge(env([(1, "update", "r", "a", "x2"), (2, "insert", "r", "b", "y")]),
+            stream_id="s", batch_id=1, compact_threshold=None)
+    assert t.count() == 2
+    t.compact()
+    t.expire_snapshots(keep=1)
+    t2 = LakeTable.load(spark, tdir, io=io)
+    rows = {r["path"]: r["content"] for r in t2.read().collect()}
+    assert rows == {"a": "x2", "b": "y"}
+    # replayed batch is a no-op (exactly-once survived the copy-promotion)
+    res = t2.merge(env([(1, "update", "r", "a", "SHOULD_NOT_APPLY")]),
+                   stream_id="s", batch_id=1)
+    assert res["skipped"]
