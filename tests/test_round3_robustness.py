@@ -163,3 +163,51 @@ def test_import_repartitioned_source_unique_offsets(spark, tmp_path):
     assert t.count() == 2000
     offs = [r["_last_offset"] for r in t.read().select("_last_offset").collect()]
     assert len(set(offs)) == 2000
+
+
+def test_per_bucket_lineage_exact_vs_independent_fold(spark):
+    """Per-bucket lineage (events/applied/deduped/deleted) must equal
+    an independent Python fold of the batch, exactly, on BOTH join
+    paths. The bucket ids are taken from bucket_expr evaluated on the
+    bare key list — independent of the merge dataflow under test."""
+    import random
+    import tempfile
+
+    from migrator_spark.operators.dedup import bucket_expr
+
+    rng = random.Random(7)
+    rows = []
+    for off in range(3000):
+        k = rng.randrange(300)
+        op = rng.choice(["insert", "update", "update", "delete"])
+        rows.append((off, op, f"r{k % 17}", f"p{k}", f"c{off}"))
+    env = _env(spark, rows)
+
+    keys = sorted({(r[2], r[3]) for r in rows})
+    kdf = spark.createDataFrame(keys, "repo string, path string")
+    bmap = {
+        (r["repo"], r["path"]): r["b"]
+        for r in kdf.select("repo", "path", bucket_expr(["repo", "path"], 8).alias("b")).collect()
+    }
+    truth = {}
+    winner = {}
+    for off, op, repo, path, _ in rows:
+        b = bmap[(repo, path)]
+        t = truth.setdefault(b, {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
+        t["events"] += 1
+        k = (repo, path)
+        if k not in winner or off > winner[k][0]:
+            winner[k] = (off, op)
+    for (repo, path), (off, op) in winner.items():
+        b = bmap[(repo, path)]
+        truth[b]["deleted" if op == "delete" else "applied"] += 1
+    for t in truth.values():
+        t["deduped"] = t["events"] - t["applied"] - t["deleted"]
+
+    for limit in (16_000_000, 3):  # broadcast path, then shuffle fallback
+        with tempfile.TemporaryDirectory() as td:
+            t = LakeTable.create(spark, td + "/t", PAYLOAD, ["repo", "path"], num_buckets=8)
+            res = t.merge(env, broadcast_winner_limit=limit)
+            assert res["used_broadcast"] == (limit > 3)
+            got = {int(b): {k: v for k, v in s.items()} for b, s in res["per_bucket"].items()}
+            assert got == truth, f"limit={limit}"
