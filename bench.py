@@ -429,6 +429,10 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
     qs = entry_mod.queries()
+    # session warmup (JVM codegen, scheduler, python daemons) — not any
+    # query's cost; without this the first headline slot absorbs ~2-4 s
+    # of one-time startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings = {}
     total = 0.0
     for name in HEADLINE:
