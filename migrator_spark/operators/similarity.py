@@ -68,13 +68,14 @@ _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _ascii_tokens(text: str) -> list[str]:
-    """Lowercased tokens split on the ASCII whitespace class ONLY —
-    the exact class Spark's ``split(lower(text), '\\\\s+')`` and
-    DuckDB's ``regexp_split_to_array(lower(text), '\\s+')`` use in the
-    exact-verify / oracle stages. Python's bare ``str.split()`` splits
-    on ALL Unicode whitespace (NBSP, ideographic space, …), which
-    would shingle such docs differently in candidate generation than
-    in the verify, voiding the banding recall bound."""
+    """Lowercased tokens split on the EXPLICIT ASCII whitespace class
+    ``[ \\t\\n\\x0b\\f\\r]`` — the same literal class the Spark exact
+    stages (:func:`_ngram_col`) and the DuckDB oracles use. Engine
+    shorthands differ (Python/Java ``\\s`` adds Unicode/VT, RE2's
+    ``\\s`` EXCLUDES vertical tab), so every engine spells the class
+    out; a divergent tokenizer would shingle docs differently in
+    candidate generation than in the verify, voiding the banding
+    recall bound."""
     return [t for t in _ASCII_WS.split(text.lower()) if t]
 
 
@@ -288,7 +289,9 @@ def _ngram_col(text_col: str, n: int):
     """Distinct word-n-gram array column — MUST stay in lockstep with
     the DuckDB oracle expression (string_split_regex + list_transform)
     and with :func:`_word_ngrams`."""
-    tok = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    tok = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0b\f\r]+"), lambda x: x != ""
+    )
     if n > 1:
         shingles = F.when(
             F.size(tok) >= n,

@@ -201,7 +201,19 @@ class LakeTable:
 
     @staticmethod
     def _head_version(path: str, io: TableIO) -> int:
-        return int(io.read_text(os.path.join(path, "HEAD")).strip())
+        """Current snapshot version. HEAD is a CACHE of
+        max(snapshots/v*.json): if it is missing or unreadable (e.g. a
+        crash inside a delete→move HEAD update on a filesystem whose
+        rename cannot replace, see PyArrowTableIO.write_text_atomic),
+        fall back to the newest snapshot file — always correct because
+        every snapshot is durably written BEFORE HEAD flips."""
+        try:
+            return int(io.read_text(os.path.join(path, "HEAD")).strip())
+        except Exception:
+            snaps = io.glob(os.path.join(path, "snapshots"), "v*.json")
+            if not snaps:
+                raise FileNotFoundError(f"no HEAD and no snapshots under {path}")
+            return int(snaps[-1][1:-5])
 
     def refresh(self) -> "LakeTable":
         return self.load(self.spark, self.path, io=self.io)
@@ -438,32 +450,6 @@ class LakeTable:
         # 2×limit — far under Spark's hard broadcast cap; sustained
         # growth re-measures on the next merge.
         t = time.monotonic()
-        # winner_estimate: caller-provided capacity hint (e.g. from a
-        # warmup run or the stream's configured batch size) — used only
-        # when the table has no commit history yet
-        est = manifest.get("last_winners") or winner_estimate
-        # last_winners bounds NOTHING about the current batch: a small
-        # prior batch followed by a spike (backfill catch-up, replay
-        # storm) could otherwise broadcast an arbitrarily large winner
-        # set. Guard the estimate with a free driver-side stat:
-        # Catalyst's optimized-plan sizeInBytes for this batch vs the
-        # recorded size of the batch that produced the history. A >4x
-        # input growth voids the estimate and falls back to the exact
-        # slim-column count job (relative comparison only — the
-        # absolute numbers are estimates).
-        cur_bytes = _plan_size_bytes(ev)
-        last_bytes = manifest.get("last_batch_bytes")
-        spiked = bool(
-            manifest.get("last_winners") is not None
-            and cur_bytes is not None
-            and last_bytes
-            and cur_bytes > 4 * last_bytes
-        )
-        if est is not None and est * 2 <= broadcast_winner_limit and not spiked:
-            use_broadcast = True
-        else:
-            use_broadcast = wmax.count() <= broadcast_winner_limit
-            t = _tlog("winner-count-job", t)
         # Per-bucket event sums must NOT ride the per-winner-row path:
         # B conditional aggregates in a CollectMetrics node are
         # evaluated interpreted for every winner row flowing to the
@@ -471,15 +457,46 @@ class LakeTable:
         # events, A/B-measured), and a plan-level side branch re-reads
         # the winner exchange's ~10M partial rows (similar cost).
         # Instead the slim winner agg is PERSISTED: the broadcast build
-        # (or the shuffle-fallback join) materializes the cache as a
-        # side effect of the main action, and per-bucket events come
-        # from a post-action 64-row aggregation over the cached
-        # ~O(winners) slim rows — one tiny extra job, no per-row
-        # metric evaluation, no second pass over the exchange.
+        # (or the shuffle-fallback join, or the exact count job below —
+        # whichever action runs first) materializes the cache, and
+        # per-bucket events come from a post-action 64-row aggregation
+        # over the cached ~O(winners) slim rows — one tiny extra job,
+        # no per-row metric evaluation, no second pass over the
+        # exchange. The persist is applied BEFORE the count decision so
+        # a fallback count job is not a wasted extra pass.
         if per_bucket_obs:
             from pyspark import StorageLevel
 
             wmax = wmax.persist(StorageLevel.MEMORY_AND_DISK)
+        # winner_estimate: caller-provided capacity hint (e.g. from a
+        # warmup run or the stream's configured trigger size) — used
+        # only when the table has no commit history yet
+        est = manifest.get("last_winners") or winner_estimate
+        # last_winners bounds NOTHING about the current batch: a small
+        # prior batch followed by a spike (backfill catch-up, replay
+        # storm) could otherwise broadcast an arbitrarily large winner
+        # set. Guard the estimate with a free driver-side stat:
+        # Catalyst's optimized-plan sizeInBytes for this batch vs the
+        # recorded size of the batch that produced the history
+        # (last_batch_bytes is recorded ONLY alongside a last_winners
+        # update, and recorded as unknown when the plan had no stats —
+        # a stale or mismatched pairing would defeat the guard). The
+        # estimate is trusted only when BOTH sizes are known and the
+        # input grew < 4x; otherwise the exact slim count decides.
+        cur_bytes = _plan_size_bytes(ev)
+        last_bytes = manifest.get("last_batch_bytes")
+        history = manifest.get("last_winners") is not None
+        # no history → est is the caller's capacity hint (an upper
+        # bound by contract), no size comparison needed; with history,
+        # BOTH sizes must be known to vouch for the estimate
+        sizes_known = (not history) or (cur_bytes is not None and bool(last_bytes))
+        spiked = bool(history and last_bytes and cur_bytes is not None
+                      and cur_bytes > 4 * last_bytes)
+        if est is not None and est * 2 <= broadcast_winner_limit and sizes_known and not spiked:
+            use_broadcast = True
+        else:
+            use_broadcast = wmax.count() <= broadcast_winner_limit
+            t = _tlog("winner-count-job", t)
         wmax_o = wmax.observe(obs_w, *obs_w_exprs)
         # Offsets are unique per batch, so the winner set is fully
         # identified by its offsets: broadcast the slim OFFSET column
@@ -798,8 +815,16 @@ class LakeTable:
             or old.get("last_winners"),
             # input size (Catalyst estimate) of the batch that produced
             # last_winners — the spike guard for the next merge's
-            # broadcast decision
-            "last_batch_bytes": batch_bytes or old.get("last_batch_bytes"),
+            # broadcast decision. Updated ONLY together with
+            # last_winners (an empty batch must not pair its tiny size
+            # with the old winner count), and recorded as None when the
+            # plan had no stats (a stale carried-over size paired with
+            # fresh winners would defeat the guard).
+            "last_batch_bytes": (
+                batch_bytes
+                if (totals.get("applied", 0) + totals.get("deleted", 0))
+                else old.get("last_batch_bytes")
+            ),
             "parent": old["version"],
         }
         lineage = {

@@ -180,7 +180,17 @@ class PyArrowTableIO(TableIO):
 
         tmp = f"{path}.tmp.{_uuid.uuid4().hex[:8]}"
         self._put(tmp, text)
-        self.fs.move(tmp, path)
+        try:
+            self.fs.move(tmp, path)
+        except OSError:
+            # HDFS rename does NOT replace an existing destination
+            # (POSIX rename does) — delete-then-move covers the mutable
+            # HEAD pointer there. The delete→move window is safe: the
+            # snapshot this HEAD names is already durable, and readers
+            # fall back to the newest snapshot file when HEAD is absent
+            # (LakeTable._head_version).
+            self.remove(path)
+            self.fs.move(tmp, path)
 
     def exists(self, path: str) -> bool:
         from pyarrow.fs import FileType

@@ -607,7 +607,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS fp,
        CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY 1
@@ -688,7 +688,7 @@ WITH g AS (
          list_distinct(list_transform(range(1, len(toks) - 1),
              i -> array_to_string(toks[i:i+2], ' '))) AS gs
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents)
   WHERE len(toks) >= 3
 )
@@ -746,7 +746,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIMHASH_DUPS = r"""
 WITH d AS (
   SELECT doc_id,
-         list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ts
+         list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS ts
   FROM documents
 ),
 toks AS (SELECT doc_id, unnest(ts) AS t FROM d WHERE len(ts) >= 5),

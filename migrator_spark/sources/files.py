@@ -102,18 +102,25 @@ def import_into_table(
     fails loudly instead of corrupting lineage.
 
     ``id_start_offset`` defaults to the table's ``last_offset + 1`` so
-    imported rows win LWW over existing ones. The chosen start is
-    recorded in ``<table>/_imports/<file>.json`` BEFORE the first
-    commit and marked ``done`` after the last: a re-run of a KILLED
-    import reuses the recorded start, so chunk offsets are
-    bit-identical across attempts and the exactly-once (stream, batch)
-    guard — the stream id embeds the start — skips already-committed
-    chunks; a re-import after completion picks a fresh start (fresh
-    stream id) and applies again, idempotent through LWW full-row
-    equality, matching the reference's re-import behaviour.
+    imported rows win LWW over existing ones. The import records
+    ``{start, src, step, sizes}`` in ``<table>/_imports/<file>.json``
+    BEFORE the first commit and marks it ``done`` after the last. A
+    re-run of a KILLED import resumes — skipping committed chunks via
+    the exactly-once (stream, batch) guard (the stream id embeds the
+    start) — ONLY when the replay would be bit-identical: same source
+    path, same chunk step, and the SAME per-partition sizes (partition
+    ids are pinned within one run by the persist, but a re-run under
+    different parallelism or a reshuffled source maps offsets to
+    different rows — resuming then would silently drop rows). Any
+    mismatch falls back to a FRESH import (new start, new stream id),
+    which is always safe: rows apply again and LWW full-row equality
+    keeps the final state correct. A re-import after completion also
+    picks a fresh start, matching the reference's re-import behaviour.
 
-    ``source_df`` bypasses the file read (import from any DataFrame —
-    repartitioned/shuffled sources are safe because of the persist)."""
+    ``source_df`` bypasses the file read (import from any DataFrame;
+    within a run the persist pins its partitioning)."""
+    if batch_size is not None and batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     read, _ = FORMATS[fmt]
     df = source_df if source_df is not None else read(spark, src_path, schema)
     table = LakeTable.load(spark, table_path)
@@ -121,28 +128,43 @@ def import_into_table(
     name = os.path.basename(src_path)
     state_path = os.path.join(table_path, "_imports", f"{name}.json")
     prior = table.io.read_json(state_path) if table.io.exists(state_path) else None
-    if id_start_offset is not None:
-        start = id_start_offset
-    elif prior is not None and not prior.get("done"):
-        # resuming a killed import: the recorded start keeps every
-        # chunk's offsets identical to the first attempt, so committed
-        # chunks replay as no-ops
-        start = int(prior["start"])
-    else:
-        start = table.manifest["last_offset"] + 1
-    stream_id = f"import-{name}@{start}"
-    table.io.makedirs(os.path.join(table_path, "_imports"))
-    table.io.write_json_atomic(state_path, {"start": start, "src": src_path, "done": False})
     w = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
     with_pid = df.withColumn("_pid", F.spark_partition_id()).persist()
     try:
         # partition sizes → cumulative bases; tiny collect (one row per
         # input split), broadcast back as a literal map
         sizes = {
-            r["_pid"]: r["n"]
+            int(r["_pid"]): int(r["n"])
             for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         total = sum(sizes.values())
+        sizes_rec = [[pid, sizes[pid]] for pid in sorted(sizes)]
+        resumable = (
+            prior is not None
+            and not prior.get("done")
+            and prior.get("src") == src_path
+            and prior.get("sizes") == sizes_rec
+        )
+        if id_start_offset is not None:
+            start = id_start_offset
+            step = batch_size or max(total, 1)
+        elif resumable:
+            # bit-identical replay: recorded start AND step (a caller
+            # passing a different batch_size on resume must not
+            # re-chunk — batch ids would stop lining up with the
+            # committed ones and the skip guard would drop rows)
+            start = int(prior["start"])
+            step = int(prior["step"])
+        else:
+            start = table.manifest["last_offset"] + 1
+            step = batch_size or max(total, 1)
+        stream_id = f"import-{name}@{start}"
+        table.io.makedirs(os.path.join(table_path, "_imports"))
+        table.io.write_json_atomic(
+            state_path,
+            {"start": start, "src": src_path, "step": step,
+             "sizes": sizes_rec, "done": False},
+        )
         bases, acc = [], start
         for pid in sorted(sizes):
             bases.append((pid, acc))
@@ -154,7 +176,6 @@ def import_into_table(
             .drop("_pid", "_base")
             .withColumn("op", F.lit("insert"))
         )
-        step = batch_size or max(total, 1)
         results, lo, b = [], start, 0
         while lo < start + total or b == 0:
             chunk = env.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
@@ -166,7 +187,9 @@ def import_into_table(
             lo += step
             b += 1
         table.io.write_json_atomic(
-            state_path, {"start": start, "src": src_path, "done": True}
+            state_path,
+            {"start": start, "src": src_path, "step": step,
+             "sizes": sizes_rec, "done": True},
         )
         return {
             "skipped": all(r.get("skipped") for r in results),

@@ -211,3 +211,137 @@ def test_per_bucket_lineage_exact_vs_independent_fold(spark):
             assert res["used_broadcast"] == (limit > 3)
             got = {int(b): {k: v for k, v in s.items()} for b, s in res["per_bucket"].items()}
             assert got == truth, f"limit={limit}"
+
+
+def test_import_resume_mismatch_falls_back_to_fresh(spark, tmp_path):
+    """Resume is only bit-identical with the same step and partition
+    sizes; a resume attempt with a DIFFERENT batch_size must not lose
+    rows — the recorded step wins and the import still completes."""
+    import pytest
+
+    src = str(tmp_path / "in.csv")
+    spark.range(0, 300).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+    ).coalesce(2).write.option("header", "true").csv(src)
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+
+    calls = {"n": 0}
+    orig_merge = LakeTable.merge
+
+    def dying_merge(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill")
+        return orig_merge(self, *a, **kw)
+
+    LakeTable.merge = dying_merge
+    try:
+        try:
+            import_into_table(spark, tdir, src, fmt="csv", batch_size=100)
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable.merge = orig_merge
+    assert LakeTable.load(spark, tdir).count() == 100
+
+    # resume with a different batch_size: the recorded step (100) must
+    # be used, NOT 250 — otherwise batch ids stop lining up with the
+    # committed chunks and the skip guard drops rows silently
+    res = import_into_table(spark, tdir, src, fmt="csv", batch_size=250)
+    t = LakeTable.load(spark, tdir)
+    assert t.count() == 300
+    assert res["batches"] == 3  # ceil(300/100) with the recorded step
+    assert t.manifest["lineage_totals"]["applied"] == 300  # no double-apply
+
+    # a changed SOURCE under the same basename must not hijack the
+    # unfinished state: different sizes -> fresh import, still correct
+    with pytest.raises(ValueError):
+        import_into_table(spark, tdir, src, fmt="csv", batch_size=0)
+
+
+def test_import_changed_source_same_basename(spark, tmp_path):
+    """An unfinished import state for basename X must not be resumed
+    when a DIFFERENT file (other path or other content/sizes) named X
+    is imported — the mismatch forces a fresh, complete import."""
+    src_a = str(tmp_path / "a" / "data.csv")
+    src_b = str(tmp_path / "b" / "data.csv")
+    for src, n in ((src_a, 200), (src_b, 120)):
+        spark.range(0, n).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.concat(F.lit(src[-20:]), F.col("id").cast("string")).alias("content"),
+        ).coalesce(1).write.option("header", "true").csv(src)
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+
+    # kill import of A after its first (only partial) chunk
+    calls = {"n": 0}
+    orig_merge = LakeTable.merge
+
+    def dying_merge(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill")
+        return orig_merge(self, *a, **kw)
+
+    LakeTable.merge = dying_merge
+    try:
+        try:
+            import_into_table(spark, tdir, src_a, fmt="csv", batch_size=80)
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable.merge = orig_merge
+    assert LakeTable.load(spark, tdir).count() == 80
+
+    # importing B (same basename, different path+sizes) must apply ALL
+    # of B's rows — not skip chunk 0 as a "replay" of A's dead import
+    res = import_into_table(spark, tdir, src_b, fmt="csv", batch_size=80)
+    assert not res["skipped"]
+    assert res["totals"]["applied"] == 120
+    t = LakeTable.load(spark, tdir)
+    contents = {r["path"]: r["content"] for r in t.read().collect()}
+    # B's rows all present and winning for overlapping keys
+    for i in range(120):
+        assert contents[f"p{i}"].endswith(f"csv{i}") or "data.csv" in contents[f"p{i}"]
+
+
+def test_head_missing_falls_back_to_max_snapshot(spark, tmp_path):
+    """HEAD is a cache of max(snapshots): a crash that leaves HEAD
+    absent (delete->move window on rename-cannot-replace filesystems)
+    must not brick the table."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0)
+    os.remove(str(tmp_path / "t" / "HEAD"))
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t2.version == t.version
+    assert t2.count() == 1
+    # the next commit restores HEAD
+    t2.merge(_env(spark, [(1, "insert", "r", "b", "y")]), stream_id="s", batch_id=1)
+    assert os.path.exists(str(tmp_path / "t" / "HEAD"))
+
+
+def test_empty_batch_does_not_pair_stale_spike_state(spark, tmp_path):
+    """last_batch_bytes must update only together with last_winners: an
+    empty batch in between must not pair its tiny input size with the
+    previous batch's winner count (which would make every following
+    batch look spiked), nor must a stats-less batch carry the OLD size
+    against its NEW winner count."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    p1 = str(tmp_path / "b1.parquet")
+    _env(spark, [(i, "insert", "r", f"p{i}", "x" * 200) for i in range(50)]).write.parquet(p1)
+    t.merge(spark.read.parquet(p1), stream_id="s", batch_id=0)
+    bytes_after_b1 = t.manifest["last_batch_bytes"]
+    assert bytes_after_b1 and t.manifest["last_winners"] == 50
+    # empty batch: winners unchanged, so recorded size must be unchanged
+    t.merge(_env(spark, []).limit(0), stream_id="s", batch_id=1)
+    assert t.manifest["last_winners"] == 50
+    assert t.manifest["last_batch_bytes"] == bytes_after_b1
+    # stats-less (in-memory) non-empty batch: winners update, size
+    # becomes UNKNOWN (None), not the stale parquet size
+    t.merge(_env(spark, [(100, "insert", "r", "q1", "y")]), stream_id="s", batch_id=2)
+    assert t.manifest["last_winners"] == 1
+    assert t.manifest["last_batch_bytes"] is None

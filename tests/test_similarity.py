@@ -171,3 +171,43 @@ def test_ann_index_prunes_partitions(spark, vectors, tmp_path):
     got = {r["vec_id"]: r["_lsh"] for r in full.select("vec_id", "_lsh").collect()}
     for r in vectors.collect():
         assert got[r["vec_id"]] == query_bucket(list(r["embedding"]), planes)
+
+
+def test_tokenizer_parity_three_engines(spark):
+    """The explicit ASCII whitespace class must tokenize identically in
+    Python (candidate-gen UDFs), Spark (exact stages, Java regex), and
+    DuckDB (oracles, RE2) - including vertical tab, where the engines'
+    backslash-s shorthands disagree (RE2 excludes VT, Java/Python
+    include it), and NBSP, which is NOT a separator in any of the
+    three. Each engine receives the class in its own escape
+    convention, exactly as the production code spells it."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from migrator_spark.operators.similarity import _ascii_tokens
+
+    tricky = "a\x0bb\tc  d\ne\rf\x0cg h"
+    py = _ascii_tokens(tricky)
+
+    row = (
+        spark.createDataFrame([(tricky,)], "text string")
+        .select(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+"),
+                lambda x: x != "",
+            ).alias("toks")
+        )
+        .first()
+    )
+    spark_toks = list(row["toks"])
+
+    con = duckdb.connect()
+    ducks = con.execute(
+        r"SELECT list_filter(string_split_regex(lower(?), '[ \t\n\x0b\f\r]+'),"
+        r" x -> x <> '')",
+        [tricky],
+    ).fetchone()[0]
+
+    assert py == spark_toks == list(ducks)
+    assert py == ["a", "b", "c", "d", "e", "f", "g h"]
