@@ -75,7 +75,7 @@ def _tlog(label: str, t0: float) -> float:
         print(f"[merge-timing] {label}: {t1 - t0:.3f}s", file=sys.stderr)
     return t1
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -421,8 +421,6 @@ class LakeTable:
         # efficiency 0.74 with the fat map vs 0.81 with the slim one on
         # the isolated join stage), and the fat scan probes it 32M
         # times per batch.
-        from pyspark.sql import Observation
-
         # The post-action per-bucket job returns one row per bucket —
         # its cost no longer scales with B (the old CollectMetrics
         # design capped B at 256); 65536 bounds the driver collect.
@@ -449,7 +447,6 @@ class LakeTable:
         # count run to decide. A mis-estimate can broadcast at most
         # 2×limit — far under Spark's hard broadcast cap; sustained
         # growth re-measures on the next merge.
-        t = time.monotonic()
         # Per-bucket event sums must NOT ride the per-winner-row path:
         # B conditional aggregates in a CollectMetrics node are
         # evaluated interpreted for every winner row flowing to the
@@ -468,6 +465,27 @@ class LakeTable:
             from pyspark import StorageLevel
 
             wmax = wmax.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_after_persist(
+                manifest, ev, wmax, obs_w, obs_w_exprs, key_cols, b_total,
+                stream_id, batch_id, order_col, op_col, transform,
+                per_bucket_obs, per_bucket_lineage, broadcast_winner_limit,
+                winner_estimate, salt_buckets, layout, compact_threshold,
+            )
+        finally:
+            # a write/stage/promote failure mid-merge must not leak the
+            # cached winner agg for the life of the session (long-running
+            # streams catch and retry merges); unpersist is idempotent
+            if per_bucket_obs:
+                wmax.unpersist()
+
+    def _merge_after_persist(
+        self, manifest, ev, wmax, obs_w, obs_w_exprs, key_cols, b_total,
+        stream_id, batch_id, order_col, op_col, transform,
+        per_bucket_obs, per_bucket_lineage, broadcast_winner_limit,
+        winner_estimate, salt_buckets, layout, compact_threshold,
+    ) -> dict:
+        t = time.monotonic()
         # winner_estimate: caller-provided capacity hint (e.g. from a
         # warmup run or the stream's configured trigger size) — used
         # only when the table has no commit history yet

@@ -224,11 +224,20 @@ class PyArrowTableIO(TableIO):
             self.fs.copy_file(src, dst)
             self.fs.delete_file(src)
             return
-        sel = FileSelector(src, recursive=True)
+        # derive each object's key relative to src via posixpath.relpath
+        # (never byte-slicing: backends may normalize scheme/bucket
+        # prefixes or report trailing slashes differently)
+        src_norm = src.rstrip("/")
+        dst_norm = dst.rstrip("/")
+        sel = FileSelector(src_norm, recursive=True)
         for i in self.fs.get_file_info(sel):
             if i.type == FileType.File:
-                rel = i.path[len(src):].lstrip("/")
-                target = f"{dst}/{rel}"
+                rel = posixpath.relpath(i.path, src_norm)
+                if rel.startswith(".."):
+                    raise ValueError(
+                        f"listing returned {i.path!r} outside staging prefix {src_norm!r}"
+                    )
+                target = f"{dst_norm}/{rel}"
                 tparent = posixpath.dirname(target)
                 if tparent:
                     self.fs.create_dir(tparent, recursive=True)
