@@ -74,6 +74,31 @@ FORMATS = {
 }
 
 
+def _source_fingerprint(src_path: str) -> str | None:
+    """Content identity of a file source: sha256 over the sorted
+    (relative path, size, mtime_ns) listing — the same cheap identity
+    the ANN index cache uses. None when the path does not exist (e.g.
+    a ``source_df`` pseudo-name) — such imports never resume."""
+    import hashlib
+
+    if os.path.isfile(src_path):
+        paths = [src_path]
+    elif os.path.isdir(src_path):
+        paths = [
+            os.path.join(root, n)
+            for root, _, names in os.walk(src_path)
+            for n in names
+            if not n.startswith((".", "_"))
+        ]
+    else:
+        return None
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, src_path)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def import_into_table(
     spark: SparkSession,
     table_path: str,
@@ -90,47 +115,77 @@ def import_into_table(
     batches; ``batch_size`` here bounds commit granularity the same
     way — None = one commit).
 
-    Offsets are synthesized DISTRIBUTED: per-partition row_number plus
-    cumulative partition base offsets (a global ``Window.orderBy``
-    funnels the whole import through one task — the classic
-    single-partition scale-killer; Spark even warns). The source is
-    PERSISTED before partition sizes are collected: pids must come from
-    the SAME physical partitioning in the sizes job and the merge jobs
-    (an AQE re-plan or non-deterministic source could otherwise
-    re-split between evaluations and silently collide offsets), and
-    every merge runs with ``validate_offsets=True`` so a violation
-    fails loudly instead of corrupting lineage.
+    **Offset-stamped staging (spill-free).** Offsets are synthesized
+    DISTRIBUTED (per-partition row_number + cumulative partition base
+    offsets — a global ``Window.orderBy`` would funnel the whole import
+    through one task) and the enveloped rows are written ONCE to a
+    staging dir under ``<table>/_imports/``, partitioned by chunk id.
+    Each commit then reads exactly its chunk directory — a pruned
+    sequential scan, no block-manager persist of the full source (the
+    round-3 design pinned partition ids by caching the entire input
+    through MEMORY_AND_DISK, which at a 100-TB import would spill the
+    whole source through the executors' block managers). An arbitrary
+    ``source_df`` (shuffle upstream, AQE re-plans, non-deterministic
+    partitioning) is snapshotted to parquet FIRST, so the sizes job and
+    the enveloped write read the same immutable bytes; file sources are
+    already immutable bytes and skip that extra copy. Every merge runs
+    ``validate_offsets=True`` so any violation fails loudly.
 
-    ``id_start_offset`` defaults to the table's ``last_offset + 1`` so
-    imported rows win LWW over existing ones. The import records
-    ``{start, src, step, sizes}`` in ``<table>/_imports/<file>.json``
-    BEFORE the first commit and marks it ``done`` after the last. A
-    re-run of a KILLED import resumes — skipping committed chunks via
-    the exactly-once (stream, batch) guard (the stream id embeds the
-    start) — ONLY when the replay would be bit-identical: same source
-    path, same chunk step, and the SAME per-partition sizes (partition
-    ids are pinned within one run by the persist, but a re-run under
-    different parallelism or a reshuffled source maps offsets to
-    different rows — resuming then would silently drop rows). Any
-    mismatch falls back to a FRESH import (new start, new stream id),
-    which is always safe: rows apply again and LWW full-row equality
-    keeps the final state correct. A re-import after completion also
-    picks a fresh start, matching the reference's re-import behaviour.
-
-    ``source_df`` bypasses the file read (import from any DataFrame;
-    within a run the persist pins its partitioning)."""
+    **Resume = replay the staged bytes.** The import records
+    ``{start, step, total, source_fp, env_schema}`` in
+    ``<table>/_imports/<file>.json`` before the first commit and marks
+    it ``done`` after the last (staging is deleted then). A re-run of a
+    KILLED import resumes bit-identically BY CONSTRUCTION: it re-reads
+    the same staged files, and committed chunks are skipped by the
+    exactly-once (stream, batch) guard — the stream id embeds both the
+    start offset AND the chunk step (``import-<name>@<start>+<step>``),
+    so a resume attempt under a different ``batch_size`` keeps the
+    recorded step and a caller forcing a different ``id_start_offset``
+    gets a distinct stream id and a full (LWW-idempotent) reapply
+    instead of silently skipping re-chunked batches. Resume requires
+    the recorded source fingerprint (path listing + sizes + mtimes) to
+    match — a different file under the same basename forces a fresh,
+    complete import. A re-import after completion also starts fresh,
+    matching the reference's re-import behaviour."""
     if batch_size is not None and batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     read, _ = FORMATS[fmt]
-    df = source_df if source_df is not None else read(spark, src_path, schema)
     table = LakeTable.load(spark, table_path)
     keys = key_cols or table.key_cols
     name = os.path.basename(src_path)
-    state_path = os.path.join(table_path, "_imports", f"{name}.json")
+    imports_dir = os.path.join(table_path, "_imports")
+    state_path = os.path.join(imports_dir, f"{name}.json")
+    staged_dir = os.path.join(imports_dir, f"_staged-{name}")
     prior = table.io.read_json(state_path) if table.io.exists(state_path) else None
-    w = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
-    with_pid = df.withColumn("_pid", F.spark_partition_id()).persist()
-    try:
+    fp = None if source_df is not None else _source_fingerprint(src_path)
+
+    resumable = (
+        prior is not None
+        and not prior.get("done")
+        and prior.get("src") == src_path
+        and fp is not None
+        and prior.get("source_fp") == fp
+        and (id_start_offset is None or int(prior["start"]) == id_start_offset)
+        and table.io.exists(os.path.join(staged_dir, "_SUCCESS"))
+    )
+    if resumable:
+        start, step, total = int(prior["start"]), int(prior["step"]), int(prior["total"])
+        env_schema = T.StructType.fromJson(prior["env_schema"])
+    else:
+        start = (
+            id_start_offset if id_start_offset is not None
+            else table.manifest["last_offset"] + 1
+        )
+        df = source_df if source_df is not None else read(spark, src_path, schema)
+        raw_dir = None
+        if source_df is not None:
+            # snapshot arbitrary DataFrames: a shuffle/AQE re-plan can
+            # re-split a non-file source between the sizes job and the
+            # enveloped write, colliding offsets
+            raw_dir = os.path.join(imports_dir, f"_raw-{name}")
+            df.write.mode("overwrite").parquet(raw_dir)
+            df = spark.read.parquet(raw_dir)
+        with_pid = df.withColumn("_pid", F.spark_partition_id())
         # partition sizes → cumulative bases; tiny collect (one row per
         # input split), broadcast back as a literal map
         sizes = {
@@ -138,79 +193,84 @@ def import_into_table(
             for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         total = sum(sizes.values())
-        sizes_rec = [[pid, sizes[pid]] for pid in sorted(sizes)]
-        resumable = (
-            prior is not None
-            and not prior.get("done")
-            and prior.get("src") == src_path
-            and prior.get("sizes") == sizes_rec
-        )
-        if id_start_offset is not None:
-            start = id_start_offset
-            step = batch_size or max(total, 1)
-        elif resumable:
-            # bit-identical replay: recorded start AND step (a caller
-            # passing a different batch_size on resume must not
-            # re-chunk — batch ids would stop lining up with the
-            # committed ones and the skip guard would drop rows)
-            start = int(prior["start"])
-            step = int(prior["step"])
-        else:
-            start = table.manifest["last_offset"] + 1
-            step = batch_size or max(total, 1)
-        stream_id = f"import-{name}@{start}"
-        table.io.makedirs(os.path.join(table_path, "_imports"))
-        table.io.write_json_atomic(
-            state_path,
-            {"start": start, "src": src_path, "step": step,
-             "sizes": sizes_rec, "done": False},
-        )
+        step = batch_size or max(total, 1)
         bases, acc = [], start
         for pid in sorted(sizes):
             bases.append((pid, acc))
             acc += sizes[pid]
         base_df = spark.createDataFrame(bases or [(0, start)], "_pid int, _base long")
+        w = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
         env = (
             with_pid.join(F.broadcast(base_df), "_pid", "left")
             .withColumn("offset", (F.col("_base") + w - F.lit(1)).cast("long"))
             .drop("_pid", "_base")
             .withColumn("op", F.lit("insert"))
         )
-        results, lo, b = [], start, 0
-        while lo < start + total or b == 0:
-            chunk = env.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
-            table = LakeTable.load(spark, table_path)
-            results.append(
-                table.merge(chunk, stream_id=stream_id, batch_id=b,
-                            validate_offsets=True)
+        env_schema = T.StructType(
+            [f for f in env.schema.fields if f.name != "_chunk"]
+        )
+        # one offset-stamped staging write, chunk-partitioned: each
+        # commit below reads only its _chunk=<b> directory
+        (
+            env.withColumn(
+                "_chunk", F.floor((F.col("offset") - F.lit(start)) / F.lit(step))
             )
-            lo += step
-            b += 1
+            .write.mode("overwrite")
+            .partitionBy("_chunk")
+            .parquet(staged_dir)
+        )
+        if raw_dir is not None:
+            table.io.rmtree(raw_dir)
         table.io.write_json_atomic(
             state_path,
-            {"start": start, "src": src_path, "step": step,
-             "sizes": sizes_rec, "done": True},
+            {"start": start, "src": src_path, "step": step, "total": total,
+             "source_fp": fp, "env_schema": env_schema.jsonValue(), "done": False},
         )
-        return {
-            "skipped": all(r.get("skipped") for r in results),
-            "version": table.refresh().version,
-            "stream_id": stream_id,
-            "batches": b,
-            "totals": {
-                k: sum(r.get("totals", {}).get(k, 0) for r in results)
-                for k in ("events", "applied", "deduped", "deleted")
-            },
-        }
-    finally:
-        with_pid.unpersist()
+    stream_id = f"import-{name}@{start}+{step}"
+    n_chunks = max(1, -(-total // step))
+    results = []
+    for b in range(n_chunks):
+        cdir = os.path.join(staged_dir, f"_chunk={b}")
+        if table.io.exists(cdir):
+            chunk = spark.read.schema(env_schema).parquet(cdir)
+        else:  # empty source: still record one committed (empty) batch
+            chunk = spark.createDataFrame([], env_schema)
+        table = LakeTable.load(spark, table_path)
+        results.append(
+            table.merge(chunk, stream_id=stream_id, batch_id=b,
+                        validate_offsets=True)
+        )
+    table.io.write_json_atomic(
+        state_path,
+        {"start": start, "src": src_path, "step": step, "total": total,
+         "source_fp": fp, "env_schema": env_schema.jsonValue(), "done": True},
+    )
+    table.io.rmtree(staged_dir)
+    return {
+        "skipped": all(r.get("skipped") for r in results),
+        "version": table.refresh().version,
+        "stream_id": stream_id,
+        "batches": n_chunks,
+        "totals": {
+            k: sum(r.get("totals", {}).get(k, 0) for r in results)
+            for k in ("events", "applied", "deduped", "deleted")
+        },
+    }
 
 
 def export_table(
     spark: SparkSession, table_path: str, dest_path: str, fmt: str = "csv"
 ) -> int:
     """Reference ``Export``: paged Fetch loop → file. Spark-first the
-    'paging' is just the parallel write."""
+    'paging' is just the parallel write. The returned row count rides
+    the write action as an ``observe()`` metric — ONE LWW resolve, not
+    a write plus a full re-resolving count job."""
+    from pyspark.sql import Observation
+
     _, write = FORMATS[fmt]
-    df = LakeTable.load(spark, table_path).read()
+    obs = Observation()
+    df = LakeTable.load(spark, table_path).read().observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     write(df, dest_path)
-    return df.count()
+    return int(obs.get["n"])

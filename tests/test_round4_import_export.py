@@ -1,0 +1,183 @@
+"""Round-4: offset-stamped staged import (spill-free resume path) and
+single-action export.
+
+The resume contract under test: a killed import re-run with the SAME
+explicit start but a DIFFERENT batch_size must not lose rows — the
+stream id embeds (start, step), so re-chunked batches get a fresh
+stream id and a full LWW-idempotent reapply instead of the committed
+(stream, batch) guard silently skipping re-chunked tails."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.sources.files import export_table, import_into_table
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _write_src(spark, src, n=300):
+    spark.range(0, n).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+    ).coalesce(2).write.option("header", "true").csv(src)
+
+
+def _kill_after(n_calls):
+    calls = {"n": 0}
+    orig_merge = LakeTable.merge
+
+    def dying_merge(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == n_calls:
+            raise RuntimeError("simulated kill")
+        return orig_merge(self, *a, **kw)
+
+    return dying_merge, orig_merge
+
+
+def test_explicit_start_rechunk_does_not_lose_rows(spark, tmp_path):
+    """Killed import with explicit start and step=100; re-run with the
+    same start but step=150. The old stream id scheme reused
+    import-<name>@<start> across both runs while RE-CHUNKING with the
+    new step, so batch 0 (now offsets 0..149) was skipped as
+    "committed" and offsets 100..149 were silently dropped. Now the
+    matching explicit start resumes with the RECORDED step (batch ids
+    keep lining up with committed chunks) and every row lands; a
+    DIFFERENT explicit start gets a distinct stream id (start+step are
+    both embedded) and a full LWW-idempotent reapply."""
+    src = str(tmp_path / "in.csv")
+    _write_src(spark, src)
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+
+    dying, orig = _kill_after(2)
+    LakeTable.merge = dying
+    try:
+        try:
+            import_into_table(
+                spark, tdir, src, fmt="csv", batch_size=100, id_start_offset=0
+            )
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable.merge = orig
+    assert LakeTable.load(spark, tdir).count() == 100
+
+    res = import_into_table(
+        spark, tdir, src, fmt="csv", batch_size=150, id_start_offset=0
+    )
+    # same explicit start -> resume with the recorded step, not 150
+    assert res["stream_id"] == "import-in.csv@0+100"
+    assert res["batches"] == 3
+    t = LakeTable.load(spark, tdir)
+    assert t.count() == 300  # nothing dropped
+    offs = sorted(r["_last_offset"] for r in t.read().select("_last_offset").collect())
+    assert offs == list(range(300))
+    assert t.manifest["lineage_totals"]["applied"] == 300  # no double-apply
+
+    # a DIFFERENT explicit start on a half-dead state must NOT inherit
+    # the old stream's committed batches: distinct stream id, full apply
+    dying, orig = _kill_after(2)
+    LakeTable.merge = dying
+    try:
+        try:
+            import_into_table(
+                spark, tdir, src, fmt="csv", batch_size=100, id_start_offset=1000
+            )
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable.merge = orig
+    res2 = import_into_table(
+        spark, tdir, src, fmt="csv", batch_size=150, id_start_offset=2000
+    )
+    assert res2["stream_id"] == "import-in.csv@2000+150"
+    assert not res2["skipped"]
+    assert res2["totals"]["applied"] == 300
+
+
+def test_staging_cleaned_after_done_and_no_persist(spark, tmp_path):
+    """Completion deletes the staged chunks and the state is marked
+    done; the import path never pins the source in the block manager
+    (spill-free contract)."""
+    src = str(tmp_path / "in.csv")
+    _write_src(spark, src, n=120)
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    res = import_into_table(spark, tdir, src, fmt="csv", batch_size=50)
+    assert res["totals"]["applied"] == 120
+    assert res["batches"] == 3
+    staged = os.path.join(tdir, "_imports", "_staged-in.csv")
+    assert not os.path.exists(staged)
+    # nothing left cached: the staged design replaced the full-source
+    # MEMORY_AND_DISK persist
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo() == [] or len(jsc.getRDDStorageInfo()) == 0
+
+
+def test_source_df_import_stages_snapshot(spark, tmp_path):
+    """A non-file source is snapshotted before offset assignment; the
+    raw snapshot is removed once the enveloped staging exists."""
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    src_df = (
+        spark.range(0, 500)
+        .select(
+            F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.col("id").cast("string").alias("content"),
+        )
+        .repartition(5)
+    )
+    res = import_into_table(
+        spark, tdir, "mem2", fmt="csv", source_df=src_df, batch_size=200
+    )
+    assert res["totals"]["applied"] == 500
+    assert not os.path.exists(os.path.join(tdir, "_imports", "_raw-mem2"))
+    assert not os.path.exists(os.path.join(tdir, "_imports", "_staged-mem2"))
+
+
+def test_export_single_action(spark, tmp_path):
+    """export_table runs exactly ONE Spark job: the count rides the
+    write as an observe() metric instead of a second full LWW
+    resolve."""
+    tdir = str(tmp_path / "table")
+    t = LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    env = spark.createDataFrame(
+        [(i, "insert", "r", f"p{i}", f"c{i}") for i in range(40)],
+        "offset long, op string, repo string, path string, content string",
+    )
+    t.merge(env, stream_id="s", batch_id=0)
+    sc = spark.sparkContext
+    # baseline: the write ACTION alone (AQE splits one action into
+    # several jobs, so "one action" is measured relative to this)
+    sc.setJobGroup("export-baseline", "bare write probe")
+    try:
+        LakeTable.load(spark, tdir).read().write.mode("overwrite").parquet(
+            str(tmp_path / "bare.parquet")
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("export-baseline"))
+    sc.setJobGroup("export-single-action", "export job-count probe")
+    try:
+        n = export_table(spark, tdir, str(tmp_path / "out.parquet"), fmt="parquet")
+    finally:
+        sc.setJobGroup(None, None)
+    assert n == 40
+    jobs = len(sc.statusTracker().getJobIdsForGroup("export-single-action"))
+    # the observe() count must add ZERO jobs over the bare write — the
+    # old implementation re-ran the whole LWW resolve for the count
+    assert jobs == baseline, f"export ran {jobs} jobs vs write-only {baseline}"
+    back = spark.read.parquet(str(tmp_path / "out.parquet"))
+    assert back.count() == 40
