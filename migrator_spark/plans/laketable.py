@@ -122,6 +122,75 @@ def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int]:
     return rows, deletes
 
 
+def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
+                          bucket_field_name: str | None):
+    """Task function for bucket-local LWW resolution (``mapInArrow``).
+
+    Each input row is ``(bucket, files)``; the task reads that bucket's
+    base+delta parquet files with pyarrow (C++ reader — paths may be
+    local or any URI pyarrow.fs speaks), pads additive-evolution
+    columns with nulls, and resolves last-writer-wins LOCALLY: stable
+    ascending sort by ``offset_col``, keep the last row per key. Keys
+    never cross buckets (the writer routes by ``bucket_expr``), so no
+    cross-bucket exchange is ever needed — this is the property the
+    shuffle-based resolver could not exploit because plain parquet
+    carries no bucketing metadata Catalyst could trust.
+
+    Ties (a replayed event re-appending an identical (key, offset) row
+    across files) are byte-identical by the deterministic-transform
+    contract, so keep-last under any tie order yields equal output.
+
+    Only the KEY columns are materialized into pandas for the
+    duplicate mask; payload columns stay in Arrow buffers end to end
+    (no per-row Python, no object boxing of content)."""
+
+    def resolve(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for rb in batches:
+            for bucket, files in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
+                parts = []
+                for path in files:
+                    t = pq.read_table(path)
+                    cols = []
+                    for field in arrow_schema:
+                        if field.name in t.column_names:
+                            col = t.column(field.name)
+                            if col.type != field.type:
+                                col = col.cast(field.type)
+                            cols.append(col)
+                        else:  # additive evolution: older file lacks it
+                            cols.append(pa.nulls(t.num_rows, field.type))
+                    parts.append(pa.table(cols, schema=arrow_schema))
+                if not parts:
+                    continue
+                combined = pa.concat_tables(parts).combine_chunks()
+                ordered = combined.take(
+                    pc.sort_indices(combined, sort_keys=[(offset_col, "ascending")])
+                )
+                keyframe = pd.DataFrame(
+                    {k: ordered.column(k).to_pandas() for k in key_names}
+                )
+                mask = ~keyframe.duplicated(keep="last")
+                resolved = ordered.filter(pa.array(mask.to_numpy()))
+                if bucket_field_name is not None:
+                    resolved = resolved.append_column(
+                        pa.field(bucket_field_name, pa.int32()),
+                        pa.array(
+                            np.full(resolved.num_rows, bucket, dtype=np.int32)
+                        ),
+                    )
+                yield from resolved.to_batches(max_chunksize=1 << 16)
+
+    return resolve
+
+
 class LakeTable:
     """A versioned keyed table on a filesystem. See module docstring."""
 
@@ -267,11 +336,63 @@ class LakeTable:
             wmax, on=self.key_cols + [LAST_OFFSET_COL], how="inner"
         ).dropDuplicates(self.key_cols)
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def _bucket_local_resolved(
+        self, buckets: list[int] | None = None, with_bucket_col: bool = False
+    ) -> DataFrame:
+        """LWW-resolved rows (tombstones included) with NO cross-bucket
+        exchange: one ``mapInArrow`` task per bucket reads that
+        bucket's base+delta files and resolves argmax(_last_offset)
+        per key locally (see :func:`_make_bucket_resolver`). The only
+        thing that moves through the cluster plan is the per-bucket
+        FILE LIST (a few rows), parallelized one-bucket-per-partition —
+        the shuffle-based resolver exchanged the ENTIRE table payload
+        on every read/compaction although keys never cross buckets.
+        Parallelism equals the bucket count; ``num_buckets`` is the
+        table's sizing knob (a 100-TB table runs thousands of buckets,
+        not 64). ``with_bucket_col`` appends the physical bucket id —
+        compaction writes use it to land files without reshaping."""
+        entries = [
+            (int(b), [os.path.join(self.path, f) for f in fl])
+            for b, fl in sorted(
+                self.manifest["buckets"].items(), key=lambda kv: int(kv[0])
+            )
+            if buckets is None or int(b) in buckets
+        ]
+        out_schema = self.schema
+        if with_bucket_col:
+            out_schema = T.StructType(
+                list(out_schema.fields)
+                + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+            )
+        if not entries:
+            return self.spark.createDataFrame([], out_schema)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        resolver = _make_bucket_resolver(
+            to_arrow_schema(self.schema),
+            list(self.key_cols),
+            LAST_OFFSET_COL,
+            BUCKET_COL if with_bucket_col else None,
+        )
+        rdd = self.spark.sparkContext.parallelize(entries, numSlices=len(entries))
+        files_df = self.spark.createDataFrame(rdd, "bucket int, files array<string>")
+        return files_df.mapInArrow(resolver, schema=out_schema)
+
+    def read(self, buckets: list[int] | None = None, resolve: str = "local") -> DataFrame:
         """Current visible table state (LWW-resolved, tombstones
-        filtered out)."""
-        return (
+        filtered out).
+
+        ``resolve``: "local" (default) = bucket-local resolution, no
+        cross-bucket exchange; "shuffle" = the groupBy+join formulation
+        (kept as the equality witness and for sessions where Python
+        workers are unavailable)."""
+        resolved = (
             self._resolve_lww(self.read_raw(buckets))
+            if resolve == "shuffle"
+            else self._bucket_local_resolved(buckets)
+        )
+        return (
+            resolved
             .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             .drop(DELETED_COL)
         )
@@ -699,7 +820,12 @@ class LakeTable:
         manifest itself is the commit, since it names every file)."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         t = t_write0 = time.monotonic()
-        if layout == "fanout":
+        if layout == "none":
+            # input is already clustered one-bucket-per-partition (the
+            # bucket-local resolver): write as-is — each task emits one
+            # file into its own bucket dir, zero reshaping
+            shaped = df
+        elif layout == "fanout":
             # no exchange: writers keep a file open per bucket they see
             shaped = df.coalesce(max(1, min(n_partitions, 200)))
         else:
@@ -774,11 +900,14 @@ class LakeTable:
             buckets = [int(b) for b, fl in self.manifest["buckets"].items() if len(fl) > 1]
         if not buckets:
             return {"compacted_buckets": 0, "version": self.version}
-        resolved = self._resolve_lww(self.read_raw(buckets=buckets)).withColumn(
-            BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
-        )
+        # bucket-local rewrite: each bucket resolves within its own
+        # task and writes straight back to its own dir — compaction
+        # never exchanges a byte across buckets
+        resolved = self._bucket_local_resolved(buckets=buckets, with_bucket_col=True)
         next_version = self.manifest["version"] + 1
-        staged, staged_rows, _ = self._stage_and_promote(resolved, next_version, len(buckets))
+        staged, staged_rows, _ = self._stage_and_promote(
+            resolved, next_version, len(buckets), layout="none"
+        )
         new_buckets = dict(self.manifest["buckets"])
         new_rows = dict(self.manifest.get("bucket_rows", {}))
         for b in buckets:
@@ -890,14 +1019,16 @@ class LakeTable:
         ``min_offset`` (tie this to checkpoint retention). Rewrites
         every bucket that holds an expirable tombstone; commits one new
         snapshot."""
-        raw = self.read_raw()
         expirable = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
             F.col(LAST_OFFSET_COL) < min_offset
         )
+        # pass 1 finds affected buckets (only bucket ids shuffle for
+        # the distinct — ints, not payload); pass 2 rewrites them
+        # bucket-locally, zero payload exchange
         has = (
-            self._resolve_lww(raw)
+            self._bucket_local_resolved(with_bucket_col=True)
             .filter(expirable)
-            .select(bucket_expr(self.key_cols, self.num_buckets).alias(BUCKET_COL))
+            .select(BUCKET_COL)
             .distinct()
             .collect()
         )
@@ -905,12 +1036,13 @@ class LakeTable:
         if not affected:
             return {"compacted_buckets": 0, "version": self.version}
         keep_rows = (
-            self._resolve_lww(self.read_raw(buckets=affected))
+            self._bucket_local_resolved(buckets=affected, with_bucket_col=True)
             .filter(~expirable)
-            .withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
         )
         next_version = self.manifest["version"] + 1
-        staged, staged_rows, _ = self._stage_and_promote(keep_rows, next_version, len(affected))
+        staged, staged_rows, _ = self._stage_and_promote(
+            keep_rows, next_version, len(affected), layout="none"
+        )
         new_buckets = dict(self.manifest["buckets"])
         new_rows = dict(self.manifest.get("bucket_rows", {}))
         for b in affected:

@@ -1,0 +1,127 @@
+"""Bucket-local LWW read resolution: the read path must carry NO
+cross-bucket exchange (keys never cross buckets by construction —
+bucket routing is pmod(murmur3(key), B) at write time), and must be
+row-for-row equal to the shuffle-based groupBy+join resolver on every
+table shape: deltas, deletes, replays, additive schema evolution.
+
+Reference analogue: per-key routed reads (memory.go:98-135) — the
+reference reads a key's state from its own map shard; here a bucket's
+state resolves inside its own task."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select(*sorted(df.columns)).collect()
+    )
+
+
+def _build_table(spark, path):
+    """Multi-commit table: upserts, replays, deletes, evolution."""
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=8)
+    t.merge(
+        _env(spark, [(i, "insert", f"r{i % 5}", f"p{i % 40}", f"v{i}") for i in range(120)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    t.merge(
+        _env(
+            spark,
+            [(120 + i, "update", f"r{i % 5}", f"p{i % 40}", f"w{i}") for i in range(60)]
+            + [(200 + i, "delete", f"r{i % 5}", f"p{i % 40}", None) for i in range(10)],
+        ),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    # additive evolution: a new nullable column arrives mid-stream
+    evo = spark.createDataFrame(
+        [(300 + i, "insert", f"r{i % 5}", f"q{i}", f"e{i}", f"L{i % 3}") for i in range(25)],
+        "offset long, op string, repo string, path string, content string, lang string",
+    )
+    t.merge(evo, stream_id="s", batch_id=2, compact_threshold=None)
+    # replay of an OLD event (monotonic offset guard must hold)
+    t.merge(
+        _env(spark, [(5, "insert", "r0", "p5", "stale")]),
+        stream_id="replay", batch_id=0, compact_threshold=None,
+    )
+    return t.refresh()
+
+
+def test_read_plan_has_no_cross_bucket_exchange(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "t"))
+    plan = _plan(t.read())
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan      # no shuffle of any kind
+    assert "HashAggregate" not in plan # no groupBy resolve
+    assert "Join" not in plan          # no join-back
+    assert "Scan ExistingRDD" in plan  # input = the per-bucket file list
+
+
+def test_local_resolve_equals_shuffle_resolve(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "t"))
+    local = _rows(t.read())
+    shuffle = _rows(t.read(resolve="shuffle"))
+    assert local == shuffle
+    assert len(local) > 0
+    # bucket pruning agrees too
+    some = [0, 3, 5]
+    assert _rows(t.read(buckets=some)) == _rows(t.read(buckets=some, resolve="shuffle"))
+
+
+def test_compaction_is_bucket_local_and_equal(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "t"))
+    before = _rows(t.read(resolve="shuffle"))
+    res = t.compact()
+    assert res["compacted_buckets"] > 0
+    t = t.refresh()
+    # every compacted bucket now holds exactly one file
+    assert all(len(fl) == 1 for fl in t.manifest["buckets"].values())
+    assert _rows(t.read()) == before
+    assert _rows(t.read(resolve="shuffle")) == before
+    # a post-compaction merge + read still agrees
+    t.merge(_env(spark, [(999, "insert", "rX", "pX", "new")]), stream_id="s", batch_id=3)
+    t = t.refresh()
+    assert _rows(t.read()) == _rows(t.read(resolve="shuffle"))
+
+
+def test_tombstone_gc_bucket_local(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "t"))
+    before = _rows(t.read(resolve="shuffle"))
+    res = t.compact_tombstones(min_offset=10_000)
+    assert res["compacted_buckets"] > 0
+    t = t.refresh()
+    assert _rows(t.read()) == before
+    # tombstones really gone from storage
+    raw = t.read_raw()
+    n_tomb = raw.filter(F.coalesce(F.col("_deleted"), F.lit(False))).count()
+    assert n_tomb == 0
+
+
+def test_evolution_columns_null_padded_in_local_read(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "t"))
+    got = t.read().filter(F.col("path").startswith("q")).select("lang").collect()
+    assert len(got) == 25 and all(r["lang"] is not None for r in got)
+    old = t.read().filter(F.col("path").startswith("p")).select("lang").collect()
+    assert all(r["lang"] is None for r in old)
