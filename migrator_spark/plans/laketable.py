@@ -433,6 +433,7 @@ class LakeTable:
         validate_offsets: bool = False,
         winner_estimate: int | None = None,
         layout: str = "cluster",
+        update_mode: str = "row",
     ) -> dict:
         """Apply a batch of change envelopes: LWW per key, upsert
         non-deletes, remove deletes. Returns the lineage dict.
@@ -482,7 +483,25 @@ class LakeTable:
           commit. Skips a cross-node shuffle of the full winner payload
           at the cost of file count (merge-on-read absorbs it; size
           compact_threshold accordingly).
+
+        ``update_mode``: "row" (default) is the full-row LWW replace
+        documented above. "patch" is the reference's Mongo field-level
+        ``$set`` merge-patch with upsert (mongo.go:334-343): a NULL
+        payload column in a non-delete event means "leave unchanged",
+        and the final row is folded from the last non-null value per
+        column after the last in-batch delete, coalesced against the
+        stored row (read-modify against current winners — see
+        :meth:`_merge_patch` for cost and contract).
         """
+        if update_mode == "patch":
+            return self._merge_patch(
+                batch_df, stream_id=stream_id, batch_id=batch_id,
+                order_col=order_col, op_col=op_col, transform=transform,
+                compact_threshold=compact_threshold,
+                validate_offsets=validate_offsets,
+            )
+        if update_mode != "row":
+            raise ValueError(f"unknown update_mode {update_mode!r}")
         manifest = self.manifest
         # Exactly-once: skip an already-committed (stream, batch).
         if stream_id is not None and batch_id is not None:
@@ -786,6 +805,227 @@ class LakeTable:
         result["used_broadcast"] = use_broadcast
         # Amortized compaction: rewrite buckets whose delta chain got
         # long (Iceberg/Delta minor-compaction analogue).
+        if compact_threshold:
+            over = [
+                int(b)
+                for b, fl in self.manifest["buckets"].items()
+                if len(fl) > compact_threshold
+            ]
+            if over:
+                result["compacted"] = self.compact(buckets=over)
+        return result
+
+    def _merge_patch(
+        self,
+        batch_df: DataFrame,
+        stream_id: str | None = None,
+        batch_id: int | None = None,
+        order_col: str = "offset",
+        op_col: str = "op",
+        transform=None,
+        compact_threshold: int | None = 8,
+        validate_offsets: bool = False,
+    ) -> dict:
+        """Field-level merge-patch apply (``update_mode="patch"``) —
+        the reference's Mongo ``$set`` upsert (mongo.go:334-343,
+        memory.go:173-196) for producers emitting SPARSE rows.
+
+        Contract:
+        - a NULL payload column in an insert/update event means "leave
+          the stored value unchanged" (consequently patch mode cannot
+          set a column to NULL — the standard $set limitation);
+        - insert and update are both patches (the upsert-everywhere
+          reference semantics);
+        - a delete clears the whole row; later events rebuild from
+          empty;
+        - idempotence comes from the committed (stream, batch) guard
+          plus the per-key stale filter (a batch whose max offset does
+          not advance past the stored row is a no-op for that key) —
+          unlike row mode, INDIVIDUAL replayed events inside a fresh
+          batch cannot be untangled per column, because the stored row
+          does not remember per-column set offsets. Deliver batches
+          through the exactly-once stream guard.
+
+        Dataflow (the read-modify join is the inherent cost of $set):
+        (1) ONE groupBy folds the raw events to a per-key patch row —
+        per column, ``max(struct(offset, value))`` over non-delete
+        events with the column present picks the last set; offsets are
+        unique so the struct comparison never reaches the value. State
+        is O(keys x cols), map-side combined — hot keys collapse per
+        partition before the shuffle. (2) The fold joins LEFT against
+        the current winners of ONLY the affected buckets (bucket-local
+        resolve, manifest-pruned). (3) Per column:
+        batch value if its set-offset is past the last in-batch delete,
+        else NULL if the batch deleted, else the stored value (stored
+        tombstones contribute nothing). (4) The final FULL rows append
+        through the normal delta/commit machinery, so the read path is
+        unchanged — stored rows are always complete."""
+        manifest = self.manifest
+        if stream_id is not None and batch_id is not None:
+            if batch_id <= manifest["committed"].get(stream_id, -1):
+                return {
+                    "skipped": True,
+                    "version": manifest["version"],
+                    "stream_id": stream_id,
+                    "batch_id": batch_id,
+                }
+        key_cols = self.key_cols
+        b_total = self.num_buckets
+        ev = batch_df.drop(
+            *[c for c in META_COLS if c not in (order_col, op_col) and c in batch_df.columns]
+        )
+        if validate_offsets:
+            chk = ev.select(*key_cols, order_col).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(order_col).alias("nd"),
+            ).collect()[0]
+            if chk["n"] != chk["nd"]:
+                raise ValueError(
+                    f"batch violates the offset-uniqueness contract: "
+                    f"{chk['n']} events but {chk['nd']} distinct offsets"
+                )
+        patch_fields = [
+            f for f in ev.schema.fields
+            if f.name not in (order_col, op_col) and f.name not in key_cols
+        ]
+        aggs = [
+            F.max(F.col(order_col)).alias("_omax"),
+            F.max(F.when(F.col(op_col) == "delete", F.col(order_col))).alias("_dmax"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        for f in patch_fields:
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col(op_col) != "delete") & F.col(f.name).isNotNull(),
+                        F.struct(
+                            F.col(order_col).alias("o"), F.col(f.name).alias("v")
+                        ),
+                    )
+                ).alias(f"_m_{f.name}")
+            )
+        folded = ev.groupBy(*key_cols).agg(*aggs).withColumn(
+            "_wb", bucket_expr(key_cols, b_total)
+        )
+        from pyspark import StorageLevel
+
+        folded = folded.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # O(keys-in-batch) rows; this collect both materializes the
+            # cache and prunes the current-state read to touched buckets
+            ev_rows = folded.groupBy("_wb").agg(F.sum("_n").alias("_s")).collect()
+            affected = sorted(int(r["_wb"]) for r in ev_rows)
+            if not affected:
+                return self._commit(
+                    manifest["buckets"], dict(manifest.get("bucket_rows", {})),
+                    self.schema, stream_id, batch_id,
+                    {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+                    {}, manifest["last_offset"],
+                )
+            ev_by_b = {int(r["_wb"]): int(r["_s"]) for r in ev_rows}
+            events_total = sum(ev_by_b.values())
+
+            table_payload = T.StructType(
+                [f for f in self.schema.fields
+                 if f.name not in (LAST_OFFSET_COL, DELETED_COL)]
+            )
+            batch_payload = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in patch_fields]
+            )
+            unified_payload, added = reconcile_schemas(table_payload, batch_payload)
+            new_table_schema = T.StructType(
+                list(unified_payload.fields)
+                + [
+                    T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+                    T.StructField(DELETED_COL, T.BooleanType(), True),
+                ]
+            )
+            cur = self._bucket_local_resolved(buckets=affected)
+            cur = cur.select(
+                *[F.col(k) for k in key_cols],
+                *[F.col(c).alias(f"_cur_{c}") for c in cur.columns if c not in key_cols],
+            )
+            j = folded.join(cur, on=key_cols, how="left")
+            # stale replay guard (batch granularity, see contract)
+            j = j.filter(
+                F.col(f"_cur_{LAST_OFFSET_COL}").isNull()
+                | (F.col("_omax") > F.col(f"_cur_{LAST_OFFSET_COL}"))
+            )
+            had_del = F.col("_dmax").isNotNull()
+            cur_dead = F.coalesce(F.col(f"_cur_{DELETED_COL}"), F.lit(False))
+            batch_names = {f.name for f in patch_fields}
+            table_names = {f.name for f in table_payload.fields}
+            out_cols = [F.col(k) for k in key_cols]
+            for f in unified_payload.fields:
+                if f.name in key_cols:
+                    continue
+                if f.name in batch_names:
+                    cov = F.col(f"_m_{f.name}.o") > F.coalesce(F.col("_dmax"), F.lit(-1))
+                    bval = F.col(f"_m_{f.name}.v")
+                else:
+                    cov = F.lit(False)
+                    bval = F.lit(None).cast(f.dataType)
+                if f.name in table_names:
+                    base = F.when(~cur_dead, F.col(f"_cur_{f.name}"))
+                else:  # additive evolution: no stored side yet
+                    base = F.lit(None).cast(f.dataType)
+                final = F.when(cov, bval).otherwise(
+                    F.when(had_del, F.lit(None).cast(f.dataType)).otherwise(base)
+                )
+                out_cols.append(final.alias(f.name))
+            out_cols += [
+                F.col("_omax").alias(LAST_OFFSET_COL),
+                (F.coalesce(F.col("_dmax"), F.lit(-1)) == F.col("_omax")).alias(DELETED_COL),
+                F.col("_wb").alias(BUCKET_COL),
+            ]
+            winners = j.select(*out_cols)
+            if transform is not None:
+                winners = transform(winners)
+            obs = Observation()
+            delta = winners.observe(
+                obs,
+                F.count(F.lit(1)).alias("winners"),
+                F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
+                F.max(LAST_OFFSET_COL).alias("max_offset"),
+            )
+            next_version = manifest["version"] + 1
+            n_parts = self.spark.sparkContext.defaultParallelism
+            staged, staged_rows, per_bucket = self._stage_and_promote(
+                delta, next_version, n_parts, salt_buckets=1, collect_stats=True,
+            )
+            m = obs.get
+            if not staged or not m.get("winners"):
+                # every key in the batch was stale: record the commit
+                return self._commit(
+                    manifest["buckets"], dict(manifest.get("bucket_rows", {})),
+                    new_table_schema, stream_id, batch_id,
+                    {"events": events_total, "applied": 0,
+                     "deduped": events_total, "deleted": 0},
+                    {}, manifest["last_offset"],
+                )
+            totals = {
+                "events": events_total,
+                "applied": int(m["winners"] - m["deletes"]),
+                "deduped": int(events_total - m["winners"]),
+                "deleted": int(m["deletes"]),
+            }
+            for b, s in per_bucket.items():
+                s["events"] = ev_by_b.get(b, 0)
+                s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
+            new_buckets = dict(manifest["buckets"])
+            new_rows = dict(manifest.get("bucket_rows", {}))
+            for b, rels in staged.items():
+                new_buckets[str(b)] = new_buckets.get(str(b), []) + rels
+                new_rows[str(b)] = new_rows.get(str(b), 0) + staged_rows.get(b, 0)
+            result = self._commit(
+                new_buckets, new_rows, new_table_schema, stream_id, batch_id,
+                totals, per_bucket,
+                max(manifest["last_offset"], int(m["max_offset"])),
+                added=[f.name for f in added],
+            )
+        finally:
+            folded.unpersist()
+        result["mode"] = "patch"
         if compact_threshold:
             over = [
                 int(b)

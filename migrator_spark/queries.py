@@ -1005,12 +1005,97 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_APPLY_FULL = SQL_CDC_LWW_FINAL_STATE
 
 
+def q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END engine run of ``update_mode="patch"`` (the
+    reference's Mongo $set merge-patch, mongo.go:334-343): the envelope
+    is SPARSIFIED deterministically (value dropped when offset%3==0,
+    props when offset%4==0 — a producer emitting partial updates), then
+    MERGED through the LakeTable patch path in 4 micro-batches. Final
+    state per key per column = last non-null set after the last delete,
+    folded batch-by-batch against stored winners; the oracle computes
+    the same fold globally in SQL (arg_max + FILTER), which is equal by
+    the associativity of the $set fold across batch boundaries."""
+    from migrator_spark.plans.laketable import LakeTable
+
+    ev = envelope(spark, sf_dir).withColumnRenamed("ev_offset", "offset").drop("ts")
+    sparse = ev.select(
+        "offset",
+        "op",
+        "key",
+        F.when(F.col("offset") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("offset") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props")).alias("props"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-patch-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
+    n = sparse.agg(F.max("offset")).collect()[0][0] + 1
+    step = max(1, n // 4)
+    b = 0
+    lo = 0
+    while lo < n:
+        chunk = sparse.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
+        table = table.refresh()
+        table.merge(chunk, stream_id="qp", batch_id=b, update_mode="patch")
+        lo += step
+        b += 1
+    out = table.refresh().read().select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes away (see
+    # q_cdc_apply_full)
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_PATCH_FINAL_STATE = EV_CTE + """
+, sp AS (
+  SELECT ev_offset, op, key,
+         CASE WHEN ev_offset % 3 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN ev_offset % 4 = 0 THEN NULL ELSE props END AS props
+  FROM ev
+), f AS (
+  SELECT key,
+         max(ev_offset) AS omax,
+         max(CASE WHEN op = 'delete' THEN ev_offset END) AS dmax,
+         arg_max(value, ev_offset)
+           FILTER (WHERE op <> 'delete' AND value IS NOT NULL) AS v_value,
+         max(ev_offset)
+           FILTER (WHERE op <> 'delete' AND value IS NOT NULL) AS o_value,
+         arg_max(props, ev_offset)
+           FILTER (WHERE op <> 'delete' AND props IS NOT NULL) AS v_props,
+         max(ev_offset)
+           FILTER (WHERE op <> 'delete' AND props IS NOT NULL) AS o_props
+  FROM sp GROUP BY key
+)
+SELECT key,
+       omax AS last_offset,
+       CASE WHEN o_value > coalesce(dmax, -1) THEN v_value END AS last_value,
+       CASE WHEN o_props > coalesce(dmax, -1) THEN v_props END AS last_props
+FROM f
+WHERE coalesce(dmax, -1) <> omax
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
+    "cdc_patch_final_state": q_cdc_patch_final_state,
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lineage_totals": q_cdc_lineage_totals,
     "cdc_batch_dedup": q_cdc_batch_dedup,
@@ -1046,6 +1131,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_apply_full": SQL_CDC_APPLY_FULL,
+    "cdc_patch_final_state": SQL_CDC_PATCH_FINAL_STATE,
     "cdc_lww_final_state": SQL_CDC_LWW_FINAL_STATE,
     "cdc_lineage_totals": SQL_CDC_LINEAGE_TOTALS,
     "cdc_batch_dedup": SQL_CDC_BATCH_DEDUP,

@@ -1,0 +1,214 @@
+"""update_mode="patch" conformance: field-level $set merge-patch
+semantics (reference: mongo.go:334-343 partial $set with upsert,
+memory.go:173-196) verified against an independent per-event Python
+fold, across multiple batches, deletes, rebuilds, stale replays and
+additive schema evolution."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+ENV = (
+    "offset long, op string, repo string, path string, "
+    "commit string, lang string, content string"
+)
+
+
+def _python_fold(events):
+    """Reference fold: apply each event in offset order; non-delete =
+    $set of the non-null fields (upsert), delete = remove row."""
+    state = {}
+    for off, op, repo, path, commit, lang, content in sorted(events):
+        k = (repo, path)
+        if op == "delete":
+            state.pop(k, None)
+            continue
+        row = state.setdefault(k, {"commit": None, "lang": None, "content": None})
+        for col, v in (("commit", commit), ("lang", lang), ("content", content)):
+            if v is not None:
+                row[col] = v
+        row["_off"] = off
+    return state
+
+
+def _gen_events(n, keys, seed=11):
+    rng = random.Random(seed)
+    out = []
+    for off in range(n):
+        k = rng.randrange(keys)
+        repo, path = f"r{k % 7}", f"p{k}"
+        if rng.random() < 0.12:
+            out.append((off, "delete", repo, path, None, None, None))
+            continue
+        # sparse payload: each column independently present
+        commit = f"c{off}" if rng.random() < 0.6 else None
+        lang = f"l{off % 5}" if rng.random() < 0.4 else None
+        content = f"body-{off}" if rng.random() < 0.7 else None
+        op = "insert" if rng.random() < 0.3 else "update"
+        out.append((off, op, repo, path, commit, lang, content))
+    return out
+
+
+def _table_state(t):
+    return {
+        (r["repo"], r["path"]): {
+            "commit": r["commit"], "lang": r["lang"], "content": r["content"],
+            "_off": r["_last_offset"],
+        }
+        for r in t.read().collect()
+    }
+
+
+def test_patch_matches_python_fold_across_batches(spark, tmp_path):
+    events = _gen_events(2500, 180)
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=8)
+    step = 500
+    for b in range(5):
+        chunk = [e for e in events if b * step <= e[0] < (b + 1) * step]
+        t = t.refresh()
+        res = t.merge(
+            spark.createDataFrame(chunk, ENV), stream_id="s", batch_id=b,
+            update_mode="patch", validate_offsets=True,
+        )
+        assert res["mode"] == "patch"
+    got = _table_state(t.refresh())
+    want = _python_fold(events)
+    # compare per-key column values AND the recorded winning offset.
+    # NOTE: engine _last_offset is the batch max PER KEY (the offset
+    # that last touched the key, including no-op sparse sets), the fold
+    # tracks the same, so they agree.
+    want_cmp = {
+        k: {"commit": v["commit"], "lang": v["lang"], "content": v["content"]}
+        for k, v in want.items()
+    }
+    got_cmp = {
+        k: {"commit": v["commit"], "lang": v["lang"], "content": v["content"]}
+        for k, v in got.items()
+    }
+    assert got_cmp == want_cmp
+
+
+def test_patch_leaves_other_columns_intact(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    full = [(0, "insert", "r", "p", "c0", "go", "hello")]
+    t.merge(spark.createDataFrame(full, ENV), stream_id="s", batch_id=0, update_mode="patch")
+    # sparse update: only commit changes; lang/content must survive
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame([(1, "update", "r", "p", "c1", None, None)], ENV),
+        stream_id="s", batch_id=1, update_mode="patch",
+    )
+    row = t.refresh().read().collect()[0]
+    assert (row["commit"], row["lang"], row["content"]) == ("c1", "go", "hello")
+    assert row["_last_offset"] == 1
+    # row mode on the same input would have nulled lang/content — the
+    # documented contract difference
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t2.merge(spark.createDataFrame(full, ENV), stream_id="s", batch_id=0)
+    t2.refresh().merge(
+        spark.createDataFrame([(1, "update", "r", "p", "c1", None, None)], ENV),
+        stream_id="s", batch_id=1,
+    )
+    row2 = LakeTable.load(spark, str(tmp_path / "t2")).read().collect()[0]
+    assert (row2["commit"], row2["lang"], row2["content"]) == ("c1", None, None)
+
+
+def test_patch_delete_clears_then_rebuilds(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(
+        spark.createDataFrame([(0, "insert", "r", "p", "c0", "go", "x")], ENV),
+        stream_id="s", batch_id=0, update_mode="patch",
+    )
+    # delete + sparse rebuild IN THE SAME BATCH: pre-delete values gone
+    t.refresh().merge(
+        spark.createDataFrame(
+            [(1, "delete", "r", "p", None, None, None),
+             (2, "update", "r", "p", None, None, "rebuilt")], ENV
+        ),
+        stream_id="s", batch_id=1, update_mode="patch",
+    )
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    row = t.read().collect()[0]
+    assert (row["commit"], row["lang"], row["content"]) == (None, None, "rebuilt")
+    # delete as LAST event -> row gone, tombstone guards replays
+    t.merge(
+        spark.createDataFrame([(3, "delete", "r", "p", None, None, None)], ENV),
+        stream_id="s", batch_id=2, update_mode="patch",
+    )
+    t = t.refresh()
+    assert t.read().count() == 0
+    # stale replay of an old patch cannot resurrect or mutate
+    res = t.merge(
+        spark.createDataFrame([(2, "update", "r", "p", None, None, "zombie")], ENV),
+        stream_id="replay", batch_id=0, update_mode="patch",
+    )
+    assert res["totals"]["applied"] == 0
+    assert t.refresh().read().count() == 0
+
+
+def test_patch_lineage_and_retry_idempotent(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    events = [
+        (0, "insert", "r", "p1", "c0", None, "a"),
+        (1, "update", "r", "p1", None, "go", None),
+        (2, "insert", "r", "p2", "c2", None, "b"),
+        (3, "delete", "r", "p2", None, None, None),
+    ]
+    res = t.merge(
+        spark.createDataFrame(events, ENV), stream_id="s", batch_id=0,
+        update_mode="patch",
+    )
+    assert res["totals"] == {"events": 4, "applied": 1, "deduped": 2, "deleted": 1}
+    # per-bucket counters fold back to the totals
+    agg = {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
+    for s in res["per_bucket"].values():
+        for k in agg:
+            agg[k] += s[k]
+    assert agg == res["totals"]
+    # a retried batch is a no-op
+    res2 = t.merge(
+        spark.createDataFrame(events, ENV), stream_id="s", batch_id=0,
+        update_mode="patch",
+    )
+    assert res2["skipped"]
+    assert t.refresh().manifest["lineage_totals"]["events"] == 4
+
+
+def test_patch_additive_evolution(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(
+        spark.createDataFrame([(0, "insert", "r", "p", "c0", "go", "x")], ENV),
+        stream_id="s", batch_id=0, update_mode="patch",
+    )
+    evolved = spark.createDataFrame(
+        [(1, "update", "r", "p", None, None, None, "MIT")],
+        ENV + ", license string",
+    )
+    t.refresh().merge(evolved, stream_id="s", batch_id=1, update_mode="patch")
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    assert "license" in t.schema.names
+    row = t.read().collect()[0]
+    assert row["license"] == "MIT"
+    assert (row["commit"], row["lang"], row["content"]) == ("c0", "go", "x")
+
+
+def test_patch_rejects_unknown_mode(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    with pytest.raises(ValueError):
+        t.merge(
+            spark.createDataFrame([], ENV), update_mode="upsert-magic"
+        )
