@@ -48,20 +48,65 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> 31)
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _hash_strings(items: list[str]) -> np.ndarray:
     """64-bit hashes of a list of strings: polynomial accumulation over
     utf-8 bytes, finalized with splitmix64 (deterministic, well-mixed
     for LSH purposes — these hashes never need a SQL twin because they
-    only steer candidate generation, not emitted values)."""
+    only steer candidate generation, not emitted values).
+
+    Vectorized: the byte-wise fold ``acc = acc*P + b`` expands to
+    ``OFF*P^L + Σ b_i * P^(L-1-i)`` (mod 2^64), so each string costs
+    one segmented uint64 dot against a shared cached power table
+    instead of a per-byte Python loop (the loop dominated the MinHash
+    signature stage at corpus scale: 12x slower on sf0.1 documents,
+    measured in BENCH/BASELINE.md). uint64 arithmetic wraps mod 2^64
+    natively — values are bit-identical to the scalar fold."""
     if not items:
         return np.empty(0, dtype=np.uint64)
-    out = np.empty(len(items), dtype=np.uint64)
-    for i, s in enumerate(items):
-        acc = np.uint64(1469598103934665603)
-        for b in s.encode("utf-8", "ignore"):
-            acc = (acc * np.uint64(1099511628211) + np.uint64(b)) & np.uint64(_MASK64)
-        out[i] = acc
+    blobs = [s.encode("utf-8", "ignore") for s in items]
+    lens = np.fromiter((len(b) for b in blobs), count=len(blobs), dtype=np.int64)
+    lmax = int(lens.max())
+    powers = _fnv_powers(lmax)
+    out = np.empty(len(blobs), dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the algorithm
+        # one segmented dot over the concatenation of all strings:
+        # weights for a length-n segment are P^(n-1)..P^0 (views into
+        # the shared power table), then a single reduceat per segment
+        allb = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
+        nonempty = lens > 0
+        if allb.size:
+            weights = np.concatenate([powers[n - 1::-1] for n in lens if n])
+            prod = allb * weights
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            sums = np.add.reduceat(prod, starts)
+        else:
+            sums = np.empty(0, dtype=np.uint64)
+        out[~nonempty] = _FNV_OFFSET
+        out[nonempty] = _FNV_OFFSET * powers[lens[nonempty]] + sums
     return _splitmix64(out)
+
+
+_POWERS_CACHE = np.ones(1, dtype=np.uint64)
+
+
+def _fnv_powers(lmax: int) -> np.ndarray:
+    """P^0..P^lmax mod 2^64, grown on demand and cached per process —
+    rebuilt tables dominated short-shingle batches."""
+    global _POWERS_CACHE
+    if _POWERS_CACHE.size <= lmax:
+        p = np.empty(lmax + 1, dtype=np.uint64)
+        p[0] = 1
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(
+                np.full(lmax, _FNV_PRIME, dtype=np.uint64), out=p[1:]
+            )
+        _POWERS_CACHE = p
+    return _POWERS_CACHE
 
 
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")

@@ -211,3 +211,39 @@ def test_tokenizer_parity_three_engines(spark):
 
     assert py == spark_toks == list(ducks)
     assert py == ["a", "b", "c", "d", "e", "f", "g h"]
+
+
+def test_hash_strings_vectorized_bit_identical():
+    """The vectorized polynomial hash must reproduce the scalar
+    byte-fold exactly (acc = acc*P + b over utf-8 bytes, splitmix64
+    finalizer) — MinHash signatures and LSH band routing depend on
+    these values staying stable across releases."""
+    import numpy as np
+
+    from migrator_spark.operators.similarity import (
+        _MASK64,
+        _hash_strings,
+        _splitmix64,
+    )
+
+    def scalar(items):
+        out = np.empty(len(items), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, s in enumerate(items):
+                acc = np.uint64(1469598103934665603)
+                for b in s.encode("utf-8", "ignore"):
+                    acc = (acc * np.uint64(1099511628211) + np.uint64(b)) & np.uint64(_MASK64)
+                out[i] = acc
+        return _splitmix64(out)
+
+    cases = ["", "a", "the quick brown fox", "x" * 500, "日本語 text",
+             "tab\tnl\n", "\x00\x01\xff", "ngram one two three"]
+    assert np.array_equal(scalar(cases), _hash_strings(cases))
+    import random
+
+    rng = random.Random(99)
+    fuzz = [
+        "".join(chr(rng.randrange(1, 0x500)) for _ in range(rng.randrange(0, 80)))
+        for _ in range(500)
+    ]
+    assert np.array_equal(scalar(fuzz), _hash_strings(fuzz))
