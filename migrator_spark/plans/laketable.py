@@ -51,9 +51,16 @@ identify winner rows in the broadcast join). This is checked on every
 merge at the winner level for free, and fully (all events) when
 ``validate_offsets=True``.
 
-Single-writer assumption: one streaming query owns the table (the
-duplicate-run guard lives in :mod:`migrator_spark.state`, mirroring
-pipelines/base.go:386-388). Readers are lock-free.
+Writer concurrency: one streaming query owns the table in normal
+operation (the duplicate-run guard lives in :mod:`migrator_spark.
+state`, mirroring pipelines/base.go:386-388), but the commit protocol
+itself REJECTS a lost update if a second writer slips through: staged
+commit directories are attempt-unique, and publishing a snapshot is a
+create-exclusive of the immutable ``snapshots/v{N}.json`` — of two
+racers exactly one wins, the other raises :class:`ConcurrentWriteError`
+with nothing visible (see ``TableIO.write_text_exclusive`` for the
+per-backend CAS: POSIX hard-link, S3 conditional PUT shim). Readers
+are lock-free.
 """
 
 from __future__ import annotations
@@ -87,6 +94,15 @@ LAST_OFFSET_COL = "_last_offset"
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
 META_COLS = ("offset", "op", "ts")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this snapshot version first. The
+    loser's staged data directory is attempt-unique (never shared), so
+    nothing it wrote is referenced by any snapshot — reload the table
+    and retry the merge; the exactly-once (stream, batch) guard makes
+    the retry safe even if the winner was a competing run of the same
+    stream."""
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -1082,18 +1098,14 @@ class LakeTable:
         # write-phase wall for the scaling bench's steady-state ratio
         # (driver/commit phases excluded)
         self.last_write_sec = t - t_write0
-        commit_rel = f"data/commit-v{next_version:08d}"
+        # Attempt-unique commit dir: two writers (or a crash-retry pair)
+        # racing the same next_version land in DIFFERENT directories, so
+        # a loser/orphan can never clobber files a published snapshot
+        # references and a retried promotion can never wedge on
+        # ENOTEMPTY. Losers' dirs are unreferenced by any snapshot and
+        # are vacuumed by expire_snapshots (kept_any stays False).
+        commit_rel = f"data/commit-v{next_version:08d}-{uuid.uuid4().hex[:8]}"
         commit_abs = os.path.join(self.path, commit_rel)
-        # Crash-retry safety: a prior attempt can die AFTER promoting
-        # this commit dir but BEFORE _commit publishes the snapshot +
-        # HEAD. Versions are allocated strictly past HEAD, so a
-        # pre-existing data/commit-v{next_version} cannot be referenced
-        # by any snapshot <= HEAD — it is an orphan from the failed
-        # attempt and clobbering it keeps retries idempotent (a bare
-        # rename onto a non-empty dir raises ENOTEMPTY and would wedge
-        # the stream permanently).
-        if self.io.exists(commit_abs):
-            self.io.rmtree(commit_abs)
         self.io.rename(staging, commit_abs)
         out: dict[int, list[str]] = {}
         tasks: list[tuple[int, str, str]] = []
@@ -1230,10 +1242,29 @@ class LakeTable:
         return {**lineage, "skipped": False}
 
     def _write_snapshot(self, manifest: dict) -> None:
+        """Publish = CREATE the immutable snapshot file exclusively —
+        the commit's compare-and-swap. Versions only move forward and
+        snapshot docs are never rewritten, so "v{N}.json already
+        exists" can only mean a competing writer won version N: raise
+        :class:`ConcurrentWriteError` (its staged data dir is
+        attempt-unique, so nothing is corrupted and nothing it wrote is
+        visible). HEAD stays a plain atomic pointer write — it is a
+        CACHE of max(snapshots), losers never reach it, and readers
+        fall back to the newest snapshot when it lags
+        (:meth:`_head_version`)."""
         v = manifest["version"]
-        self.io.write_json_atomic(
-            os.path.join(self.path, "snapshots", f"v{v:08d}.json"), manifest
-        )
+        import json as _json
+
+        try:
+            self.io.write_text_exclusive(
+                os.path.join(self.path, "snapshots", f"v{v:08d}.json"),
+                _json.dumps(manifest),
+            )
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"snapshot v{v} was committed by another writer; "
+                f"reload the table and retry"
+            ) from e
         self.io.write_text_atomic(os.path.join(self.path, "HEAD"), str(v))
 
     # ------------------------------------------------------------- utilities

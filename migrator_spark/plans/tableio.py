@@ -44,6 +44,22 @@ class TableIO:
         PUT (If-Match) provides the same single-writer swap."""
         raise NotImplementedError
 
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent publish — the commit protocol's
+        compare-and-swap. Snapshot files are immutable and versioned,
+        so "create snapshots/v{N}.json exclusively" IS the CAS: of two
+        writers racing to commit version N, exactly one creates the
+        file; the other MUST get :class:`FileExistsError` and no
+        partial state. POSIX: hard-link of a staged temp (atomic
+        fail-if-exists). Object stores: conditional PUT with
+        ``If-None-Match: *`` (S3 GA 2024, GCS ``ifGenerationMatch=0``).
+        The base implementation is check-then-put — a documented race
+        window for backends whose client does not expose conditional
+        headers (see PyArrowTableIO)."""
+        if self.exists(path):
+            raise FileExistsError(path)
+        self.write_text_atomic(path, text)
+
     def exists(self, path: str) -> bool:
         raise NotImplementedError
 
@@ -94,6 +110,19 @@ class LocalTableIO(TableIO):
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        # truly atomic on POSIX: stage a temp, hard-link it into place
+        # (link(2) fails with EEXIST if the destination exists), drop
+        # the temp — full content appears exactly-once or not at all
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.x.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -148,6 +177,15 @@ class PyArrowTableIO(TableIO):
       lists; ``atomic_put=True`` therefore performs the promotion as a
       per-file server-side copy+delete (object stores batch these), an
       availability optimization of layout, not a correctness step.
+    - ``write_text_exclusive`` (the snapshot-publish CAS) inherits the
+      base check-then-put: pyarrow's S3 client exposes no conditional
+      headers, so the exists→PUT window is the documented shim point —
+      a deployment wanting hard multi-writer safety replaces this one
+      method with a conditional PUT (``If-None-Match: *``) or routes
+      snapshot creation through a catalog service, exactly as Iceberg
+      does. The commit protocol above it is already shaped for that
+      swap: losers are detected BEFORE any pointer moves and no data
+      file is shared between attempts.
     """
 
     def __init__(self, fs=None, atomic_put: bool = False):
@@ -276,6 +314,12 @@ class MemTableIO(TableIO):
 
     def write_text_atomic(self, path: str, text: str) -> None:
         self.files[self._norm(path)] = text
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        p = self._norm(path)
+        if p in self.files:
+            raise FileExistsError(path)
+        self.files[p] = text
 
     def exists(self, path: str) -> bool:
         p = self._norm(path)

@@ -1,0 +1,129 @@
+"""Concurrent-writer rejection: two interleaved commits against the
+same table version must produce exactly one winner and one clean
+ConcurrentWriteError — never a lost update — in rename mode AND in
+object-store (atomic_put) mode. The CAS is create-exclusive of the
+immutable snapshots/v{N}.json (TableIO.write_text_exclusive);
+reference analogue: the connectors lean on DB transactions
+(postgres.go:383-392), here the table format provides it."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import ConcurrentWriteError, LakeTable
+from migrator_spark.plans.tableio import (
+    LocalTableIO,
+    MemTableIO,
+    PyArrowTableIO,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+def _race(spark, tmp_path, io_a, io_b):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4, io=io_a)
+    t.merge(_env(spark, [(0, "insert", "r", "base", "v0")]), stream_id="a", batch_id=0)
+    # two handles loaded at the SAME version
+    a = LakeTable.load(spark, path, io=io_a)
+    b = LakeTable.load(spark, path, io=io_b)
+    assert a.version == b.version
+    res_a = a.merge(_env(spark, [(1, "insert", "r", "pa", "from-a")]),
+                    stream_id="a", batch_id=1)
+    assert not res_a["skipped"]
+    with pytest.raises(ConcurrentWriteError):
+        b.merge(_env(spark, [(2, "insert", "r", "pb", "from-b")]),
+                stream_id="b", batch_id=0)
+    # winner's commit fully visible, loser contributed NOTHING
+    t = LakeTable.load(spark, path, io=io_a)
+    rows = {r["path"]: r["content"] for r in t.read().collect()}
+    assert rows == {"base": "v0", "pa": "from-a"}
+    # loser recovers by reloading: its batch applies cleanly
+    b2 = LakeTable.load(spark, path, io=io_b)
+    res_b = b2.merge(_env(spark, [(2, "insert", "r", "pb", "from-b")]),
+                     stream_id="b", batch_id=0)
+    assert not res_b["skipped"]
+    rows = {r["path"]: r["content"]
+            for r in LakeTable.load(spark, path, io=io_a).read().collect()}
+    assert rows == {"base": "v0", "pa": "from-a", "pb": "from-b"}
+
+
+def test_two_writers_posix_rename_mode(spark, tmp_path):
+    _race(spark, tmp_path, LocalTableIO(), LocalTableIO())
+
+
+def test_two_writers_object_store_mode(spark, tmp_path):
+    _race(
+        spark, tmp_path,
+        PyArrowTableIO(atomic_put=True),
+        PyArrowTableIO(atomic_put=True),
+    )
+
+
+def test_loser_leaves_no_referenced_files_and_vacuum_cleans(spark, tmp_path):
+    """The loser's attempt-unique commit dir is orphaned (referenced by
+    no snapshot) and expire_snapshots vacuums it."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "base", "v0")]), stream_id="a", batch_id=0)
+    a = LakeTable.load(spark, path)
+    b = LakeTable.load(spark, path)
+    a.merge(_env(spark, [(1, "insert", "r", "pa", "A")]), stream_id="a", batch_id=1)
+    with pytest.raises(ConcurrentWriteError):
+        b.merge(_env(spark, [(2, "insert", "r", "pb", "B")]), stream_id="b", batch_id=0)
+    ddir = os.path.join(path, "data")
+    dirs_before = set(os.listdir(ddir))
+    live = {
+        f.split("/")[1]
+        for fl in LakeTable.load(spark, path).manifest["buckets"].values()
+        for f in fl
+    }
+    orphans = {d for d in dirs_before if d not in live}
+    assert orphans, "loser should have left an orphan commit dir"
+    t = LakeTable.load(spark, path)
+    t.expire_snapshots(keep=1)
+    dirs_after = set(os.listdir(ddir))
+    assert not (orphans & dirs_after)  # vacuumed
+    rows = {r["path"] for r in LakeTable.load(spark, path).read().collect()}
+    assert rows == {"base", "pa"}
+
+
+def test_write_text_exclusive_semantics():
+    """Create-exclusive contract across all three TableIO backends."""
+    import tempfile
+
+    mem = MemTableIO()
+    mem.write_text_exclusive("/x/y", "1")
+    with pytest.raises(FileExistsError):
+        mem.write_text_exclusive("/x/y", "2")
+    assert mem.read_text("/x/y") == "1"
+
+    with tempfile.TemporaryDirectory() as td:
+        loc = LocalTableIO()
+        p = os.path.join(td, "doc.json")
+        loc.write_text_exclusive(p, "1")
+        with pytest.raises(FileExistsError):
+            loc.write_text_exclusive(p, "2")
+        assert loc.read_text(p) == "1"
+        assert not os.path.exists(p + f".x.{os.getpid()}")  # temp cleaned
+
+    with tempfile.TemporaryDirectory() as td:
+        pio = PyArrowTableIO()
+        p = os.path.join(td, "doc.json")
+        pio.write_text_exclusive(p, "1")
+        with pytest.raises(FileExistsError):
+            pio.write_text_exclusive(p, "2")
+        assert pio.read_text(p) == "1"

@@ -32,9 +32,11 @@ def _env(spark, rows):
 
 def test_merge_retry_after_promote_crash(spark, tmp_path):
     """A process can die AFTER the staging dir is promoted to
-    data/commit-v{N} but BEFORE the snapshot/HEAD publish. The retried
-    batch recomputes the same next version; the promotion must clobber
-    the orphan dir instead of wedging on ENOTEMPTY."""
+    data/commit-v{N}* but BEFORE the snapshot/HEAD publish. The retried
+    batch recomputes the same next version; promotion dirs are
+    attempt-unique (round 4), so the retry lands beside the orphan —
+    never wedges on ENOTEMPTY, never clobbers referenced files — and
+    the orphan stays invisible until expire_snapshots vacuums it."""
     t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
     t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0)
     # simulate the half-committed crash: the NEXT version's commit dir
