@@ -456,23 +456,33 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         "cdc": cdc,
         "cores": CPUS,
     }
+    # ANN quality rides every bench record: recall@10 of the LSH index
+    # vs the exact top-10 (a perf-motivated index change that degrades
+    # quality must show up HERE, not only in the correctness gate)
+    try:
+        rec = qs["ann_recall_at_10"](spark, SF_DIR).collect()[0]
+        out["ann_recall_at_10"] = float(rec["recall"])
+    except Exception as e:
+        out["ann_recall_error"] = str(e)[-200:]
     # North-rule evidence in every per-round record: the same CDC job
     # at N and 4N executor JVMs (fresh subprocesses, CPU-capped).
     # Skippable for quick local iterations via SPARK_GRAFT_SKIP_SCALING.
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         spark.stop()  # free the 32 cores before the capped legs run
+        # Canonical legs: 32M events in ONE commit x 5 interleaved
+        # N/4N rep pairs, median of pairwise ratios. Host vCPU drift
+        # makes single reps meaningless (observed ±30% on identical
+        # back-to-back legs; r2 recorded 0.56 from one rep while
+        # multi-rep medians measured 0.69-0.72). Bigger single-commit
+        # legs amortize the constant driver/commit phases out of the
+        # ratio (the Amdahl table in BENCH/BASELINE.md), which is also
+        # the production regime — a 10^10-event replay runs far larger
+        # batches than any sandbox leg.
+        ev = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "32000000"))
+        n_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+        keys = max(100_000, ev // 20)
         try:
-            # THREE interleaved N/4N rep pairs at 16M events, median
-            # per leg — this host's vCPU drift makes a single rep
-            # meaningless (observed ±30% on identical back-to-back
-            # legs; r2 recorded 0.56 from one rep while 4-rep medians
-            # measured 0.69–0.72). The curated 32M × 4-rep dossier
-            # lives in BENCH/BASELINE.md.
-            out["scaling"] = scaling(
-                int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")),
-                800_000, repeat=repeat, batches=1,
-                reps=int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")),
-            )
+            out["scaling"] = scaling(ev, keys, repeat=repeat, batches=1, reps=n_reps)
         except Exception as e:  # keep the headline record even if a leg dies
             out["scaling_error"] = str(e)[-500:]
         try:
@@ -482,13 +492,20 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
             # reach (a real cluster scales this with nodes). Recorded
             # alongside so the engine's number has its measured bound.
             out["scaling_control_exchange"] = scaling(
-                int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "16000000")),
-                800_000, repeat=repeat, batches=1, variant="shuffle",
-                write_md=False,
-                reps=int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")),
+                ev, keys, repeat=repeat, batches=1, variant="shuffle",
+                write_md=False, reps=n_reps,
             )
         except Exception as e:
             out["scaling_control_error"] = str(e)[-500:]
+        eng = (out.get("scaling") or {}).get("scaling_efficiency")
+        ctl = (out.get("scaling_control_exchange") or {}).get("scaling_efficiency")
+        if eng and ctl:
+            # first-class metric: the engine's scaling as a fraction of
+            # the box's own vanilla-exchange ceiling (the control runs
+            # ZERO engine code; on this single machine even it cannot
+            # reach the 0.8 target — executors share one memory bus —
+            # so the ratio is the environment-independent signal)
+            out["efficiency_vs_exchange_control"] = round(eng / ctl, 3)
     return out
 
 

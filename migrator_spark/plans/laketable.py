@@ -1332,7 +1332,11 @@ class LakeTable:
     def expire_snapshots(self, keep: int = 2) -> int:
         """Vacuum: delete data files referenced only by snapshots older
         than the newest ``keep`` (Iceberg expire_snapshots analogue).
-        All FS ops go through the TableIO seam."""
+        All FS ops go through the TableIO seam; deletions run through a
+        bounded thread pool — object-store deletes are ~10-100 ms RPCs
+        each, and a serial driver loop over millions of expired files
+        would dominate maintenance windows (Iceberg's expire action
+        parallelizes the same way)."""
         sdir = os.path.join(self.path, "snapshots")
         snaps = self.io.glob(sdir, "v*.json")
         if len(snaps) <= keep:
@@ -1342,7 +1346,8 @@ class LakeTable:
             m = self.io.read_json(os.path.join(sdir, name))
             for fl in m["buckets"].values():
                 live.update(fl)
-        removed = 0
+        doomed: list[str] = []
+        empty_dirs: list[str] = []
         ddir = os.path.join(self.path, "data")
         for commit_dir in self.io.glob(ddir, "commit-v*"):
             cpath = os.path.join(ddir, commit_dir)
@@ -1352,12 +1357,16 @@ class LakeTable:
                 for name in self.io.glob(bpath, "*.parquet"):
                     rel = f"data/{commit_dir}/{bdir}/{name}"
                     if rel not in live:
-                        self.io.remove(os.path.join(bpath, name))
-                        removed += 1
+                        doomed.append(os.path.join(bpath, name))
                     else:
                         kept_any = True
             if not kept_any:
-                self.io.rmtree(cpath)
+                empty_dirs.append(cpath)
+        if doomed:
+            with ThreadPoolExecutor(max_workers=min(16, len(doomed))) as pool:
+                list(pool.map(self.io.remove, doomed))
+        for cpath in empty_dirs:
+            self.io.rmtree(cpath)
         for name in snaps[:-keep]:
             self.io.remove(os.path.join(sdir, name))
-        return removed
+        return len(doomed)

@@ -107,6 +107,11 @@ def _run_backfill_locked(
                 salt_buckets=salt_buckets,
                 transform=transform,
                 compact_threshold=compact_threshold,
+                # the log's offset-uniqueness is an EXTERNAL contract:
+                # audit it loudly on the first chunk of a fresh run
+                # (one extra narrow pass there; later chunks and
+                # resumed runs ride the cheap winner-level check)
+                validate_offsets=(saved == 0 and lo == effective_start),
             )
             lo += step
             st = state.get(pipeline_id)

@@ -114,15 +114,16 @@ def test_staging_cleaned_after_done_and_no_persist(spark, tmp_path):
     _write_src(spark, src, n=120)
     tdir = str(tmp_path / "table")
     LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = len(jsc.getRDDStorageInfo())  # other tests may cache
     res = import_into_table(spark, tdir, src, fmt="csv", batch_size=50)
     assert res["totals"]["applied"] == 120
     assert res["batches"] == 3
     staged = os.path.join(tdir, "_imports", "_staged-in.csv")
     assert not os.path.exists(staged)
-    # nothing left cached: the staged design replaced the full-source
-    # MEMORY_AND_DISK persist
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo() == [] or len(jsc.getRDDStorageInfo()) == 0
+    # the import added NO pinned blocks: the staged design replaced the
+    # full-source MEMORY_AND_DISK persist
+    assert len(jsc.getRDDStorageInfo()) <= cached_before
 
 
 def test_source_df_import_stages_snapshot(spark, tmp_path):
