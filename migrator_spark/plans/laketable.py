@@ -286,19 +286,27 @@ class LakeTable:
 
     @staticmethod
     def _head_version(path: str, io: TableIO) -> int:
-        """Current snapshot version. HEAD is a CACHE of
-        max(snapshots/v*.json): if it is missing or unreadable (e.g. a
-        crash inside a delete→move HEAD update on a filesystem whose
-        rename cannot replace, see PyArrowTableIO.write_text_atomic),
-        fall back to the newest snapshot file — always correct because
-        every snapshot is durably written BEFORE HEAD flips."""
+        """Current snapshot version = max(HEAD, newest snapshot file).
+        HEAD is a CACHE that can be missing (crash inside a
+        delete→move update on rename-cannot-replace filesystems, see
+        PyArrowTableIO.write_text_atomic) or STALE (crash between the
+        create-exclusive snapshot publish — the real commit — and the
+        HEAD write): trusting a stale-but-readable HEAD would make
+        every retry recompute the already-published version and loop
+        on ConcurrentWriteError forever. The newest snapshot always
+        wins because snapshots are durably published BEFORE HEAD
+        flips; the listing costs one LIST per table load (Iceberg's
+        version-hint pattern pays the same)."""
+        head = None
         try:
-            return int(io.read_text(os.path.join(path, "HEAD")).strip())
+            head = int(io.read_text(os.path.join(path, "HEAD")).strip())
         except Exception:
-            snaps = io.glob(os.path.join(path, "snapshots"), "v*.json")
-            if not snaps:
-                raise FileNotFoundError(f"no HEAD and no snapshots under {path}")
-            return int(snaps[-1][1:-5])
+            pass
+        snaps = io.glob(os.path.join(path, "snapshots"), "v*.json")
+        newest = int(snaps[-1][1:-5]) if snaps else None
+        if head is None and newest is None:
+            raise FileNotFoundError(f"no HEAD and no snapshots under {path}")
+        return max(v for v in (head, newest) if v is not None)
 
     def refresh(self) -> "LakeTable":
         return self.load(self.spark, self.path, io=self.io)
@@ -402,6 +410,8 @@ class LakeTable:
         cross-bucket exchange; "shuffle" = the groupBy+join formulation
         (kept as the equality witness and for sessions where Python
         workers are unavailable)."""
+        if resolve not in ("local", "shuffle"):
+            raise ValueError(f"unknown resolve {resolve!r}")
         resolved = (
             self._resolve_lww(self.read_raw(buckets))
             if resolve == "shuffle"
@@ -904,6 +914,24 @@ class LakeTable:
             f for f in ev.schema.fields
             if f.name not in (order_col, op_col) and f.name not in key_cols
         ]
+        # reconcile up front (driver-side): like row mode, an EMPTY
+        # batch that carries new envelope columns still evolves the
+        # schema
+        table_payload = T.StructType(
+            [f for f in self.schema.fields
+             if f.name not in (LAST_OFFSET_COL, DELETED_COL)]
+        )
+        batch_payload = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in patch_fields]
+        )
+        unified_payload, added = reconcile_schemas(table_payload, batch_payload)
+        new_table_schema = T.StructType(
+            list(unified_payload.fields)
+            + [
+                T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
         aggs = [
             F.max(F.col(order_col)).alias("_omax"),
             F.max(F.when(F.col(op_col) == "delete", F.col(order_col))).alias("_dmax"),
@@ -932,30 +960,17 @@ class LakeTable:
             ev_rows = folded.groupBy("_wb").agg(F.sum("_n").alias("_s")).collect()
             affected = sorted(int(r["_wb"]) for r in ev_rows)
             if not affected:
-                return self._commit(
+                result = self._commit(
                     manifest["buckets"], dict(manifest.get("bucket_rows", {})),
-                    self.schema, stream_id, batch_id,
+                    new_table_schema, stream_id, batch_id,
                     {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
                     {}, manifest["last_offset"],
+                    added=[f.name for f in added],
                 )
+                result["mode"] = "patch"
+                return result
             ev_by_b = {int(r["_wb"]): int(r["_s"]) for r in ev_rows}
             events_total = sum(ev_by_b.values())
-
-            table_payload = T.StructType(
-                [f for f in self.schema.fields
-                 if f.name not in (LAST_OFFSET_COL, DELETED_COL)]
-            )
-            batch_payload = T.StructType(
-                [T.StructField(f.name, f.dataType, True) for f in patch_fields]
-            )
-            unified_payload, added = reconcile_schemas(table_payload, batch_payload)
-            new_table_schema = T.StructType(
-                list(unified_payload.fields)
-                + [
-                    T.StructField(LAST_OFFSET_COL, T.LongType(), True),
-                    T.StructField(DELETED_COL, T.BooleanType(), True),
-                ]
-            )
             cur = self._bucket_local_resolved(buckets=affected)
             cur = cur.select(
                 *[F.col(k) for k in key_cols],
@@ -997,6 +1012,27 @@ class LakeTable:
             winners = j.select(*out_cols)
             if transform is not None:
                 winners = transform(winners)
+                # the committed schema must describe the rows as
+                # WRITTEN: a transform may add columns (e.g. the
+                # default content_sha256) — row mode derives its schema
+                # after the transform too, and a schema missing them
+                # would silently drop them on every read
+                post_payload = T.StructType(
+                    [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in winners.schema.fields
+                        if f.name not in (LAST_OFFSET_COL, DELETED_COL, BUCKET_COL)
+                        and f.name not in key_cols
+                    ]
+                )
+                unified_payload, added = reconcile_schemas(table_payload, post_payload)
+                new_table_schema = T.StructType(
+                    list(unified_payload.fields)
+                    + [
+                        T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+                        T.StructField(DELETED_COL, T.BooleanType(), True),
+                    ]
+                )
             obs = Observation()
             delta = winners.observe(
                 obs,
@@ -1012,21 +1048,32 @@ class LakeTable:
             m = obs.get
             if not staged or not m.get("winners"):
                 # every key in the batch was stale: record the commit
-                return self._commit(
+                result = self._commit(
                     manifest["buckets"], dict(manifest.get("bucket_rows", {})),
                     new_table_schema, stream_id, batch_id,
                     {"events": events_total, "applied": 0,
                      "deduped": events_total, "deleted": 0},
-                    {}, manifest["last_offset"],
+                    {b: {"events": n, "applied": 0, "deduped": n, "deleted": 0}
+                     for b, n in ev_by_b.items()},
+                    manifest["last_offset"],
+                    added=[f.name for f in added],
                 )
+                result["mode"] = "patch"
+                return result
             totals = {
                 "events": events_total,
                 "applied": int(m["winners"] - m["deletes"]),
                 "deduped": int(events_total - m["winners"]),
                 "deleted": int(m["deletes"]),
             }
-            for b, s in per_bucket.items():
-                s["events"] = ev_by_b.get(b, 0)
+            # every bucket the batch TOUCHED gets a lineage entry, even
+            # when all its keys were stale-filtered and no file was
+            # staged — per-bucket counters must fold back to totals
+            for b, n in ev_by_b.items():
+                s = per_bucket.setdefault(
+                    b, {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
+                )
+                s["events"] = n
                 s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
             new_buckets = dict(manifest["buckets"])
             new_rows = dict(manifest.get("bucket_rows", {}))
@@ -1234,10 +1281,15 @@ class LakeTable:
             "per_bucket": per_bucket,
             "schema_added": added or [],
         }
+        # snapshot CAS FIRST: only the writer that owns version N may
+        # touch lineage/v{N}.json (a losing concurrent writer used to
+        # overwrite the winner's audit record before being rejected).
+        # A crash in between leaves a committed version with no lineage
+        # doc — an audit gap readers tolerate, never a misattribution.
+        self._write_snapshot(manifest)
         self.io.write_json_atomic(
             os.path.join(self.path, "lineage", f"v{next_version:08d}.json"), lineage
         )
-        self._write_snapshot(manifest)
         self.manifest = manifest
         return {**lineage, "skipped": False}
 

@@ -114,9 +114,14 @@ class LocalTableIO(TableIO):
     def write_text_exclusive(self, path: str, text: str) -> None:
         # truly atomic on POSIX: stage a temp, hard-link it into place
         # (link(2) fails with EEXIST if the destination exists), drop
-        # the temp — full content appears exactly-once or not at all
+        # the temp — full content appears exactly-once or not at all.
+        # Temp name carries a uuid, NOT just the pid: two handles in
+        # one process racing the same snapshot must not share (and
+        # truncate) each other's staged bytes.
+        import uuid as _uuid
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.x.{os.getpid()}"
+        tmp = f"{path}.x.{_uuid.uuid4().hex[:12]}"
         with open(tmp, "w") as f:
             f.write(text)
         try:

@@ -155,20 +155,29 @@ def import_into_table(
     name = os.path.basename(src_path)
     imports_dir = os.path.join(table_path, "_imports")
     state_path = os.path.join(imports_dir, f"{name}.json")
-    staged_dir = os.path.join(imports_dir, f"_staged-{name}")
     prior = table.io.read_json(state_path) if table.io.exists(state_path) else None
     fp = None if source_df is not None else _source_fingerprint(src_path)
 
+    # The staged dir is NONCE-keyed and the state doc naming that nonce
+    # is written BEFORE the staging write: state and staged bytes can
+    # therefore never disagree about start/step/layout (a crash between
+    # an overwritten staging and its state rewrite could otherwise pair
+    # a stale state with a newer staging under the same path).
     resumable = (
         prior is not None
         and not prior.get("done")
         and prior.get("src") == src_path
         and fp is not None
         and prior.get("source_fp") == fp
+        and prior.get("nonce")
         and (id_start_offset is None or int(prior["start"]) == id_start_offset)
-        and table.io.exists(os.path.join(staged_dir, "_SUCCESS"))
+        and table.io.exists(
+            os.path.join(imports_dir, f"_staged-{name}-{prior['nonce']}", "_SUCCESS")
+        )
     )
     if resumable:
+        nonce = prior["nonce"]
+        staged_dir = os.path.join(imports_dir, f"_staged-{name}-{nonce}")
         start, step, total = int(prior["start"]), int(prior["step"]), int(prior["total"])
         env_schema = T.StructType.fromJson(prior["env_schema"])
     else:
@@ -209,8 +218,25 @@ def import_into_table(
         env_schema = T.StructType(
             [f for f in env.schema.fields if f.name != "_chunk"]
         )
-        # one offset-stamped staging write, chunk-partitioned: each
-        # commit below reads only its _chunk=<b> directory
+        import uuid
+
+        nonce = uuid.uuid4().hex[:8]
+        staged_dir = os.path.join(imports_dir, f"_staged-{name}-{nonce}")
+        if prior is not None and prior.get("nonce"):
+            # a dead attempt's staging is garbage once we go fresh
+            table.io.rmtree(
+                os.path.join(imports_dir, f"_staged-{name}-{prior['nonce']}")
+            )
+        # state FIRST (names the nonce), then the one offset-stamped
+        # chunk-partitioned staging write: each commit below reads only
+        # its _chunk=<b> directory. A crash mid-staging leaves no
+        # _SUCCESS, so the next run goes fresh.
+        table.io.write_json_atomic(
+            state_path,
+            {"start": start, "src": src_path, "step": step, "total": total,
+             "source_fp": fp, "env_schema": env_schema.jsonValue(),
+             "nonce": nonce, "done": False},
+        )
         (
             env.withColumn(
                 "_chunk", F.floor((F.col("offset") - F.lit(start)) / F.lit(step))
@@ -221,11 +247,6 @@ def import_into_table(
         )
         if raw_dir is not None:
             table.io.rmtree(raw_dir)
-        table.io.write_json_atomic(
-            state_path,
-            {"start": start, "src": src_path, "step": step, "total": total,
-             "source_fp": fp, "env_schema": env_schema.jsonValue(), "done": False},
-        )
     stream_id = f"import-{name}@{start}+{step}"
     n_chunks = max(1, -(-total // step))
     results = []
@@ -243,7 +264,8 @@ def import_into_table(
     table.io.write_json_atomic(
         state_path,
         {"start": start, "src": src_path, "step": step, "total": total,
-         "source_fp": fp, "env_schema": env_schema.jsonValue(), "done": True},
+         "source_fp": fp, "env_schema": env_schema.jsonValue(),
+         "nonce": nonce, "done": True},
     )
     table.io.rmtree(staged_dir)
     return {

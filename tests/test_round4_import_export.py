@@ -119,8 +119,11 @@ def test_staging_cleaned_after_done_and_no_persist(spark, tmp_path):
     res = import_into_table(spark, tdir, src, fmt="csv", batch_size=50)
     assert res["totals"]["applied"] == 120
     assert res["batches"] == 3
-    staged = os.path.join(tdir, "_imports", "_staged-in.csv")
-    assert not os.path.exists(staged)
+    leftovers = [
+        d for d in os.listdir(os.path.join(tdir, "_imports"))
+        if d.startswith("_staged-in.csv")
+    ]
+    assert not leftovers
     # the import added NO pinned blocks: the staged design replaced the
     # full-source MEMORY_AND_DISK persist
     assert len(jsc.getRDDStorageInfo()) <= cached_before
@@ -145,7 +148,11 @@ def test_source_df_import_stages_snapshot(spark, tmp_path):
     )
     assert res["totals"]["applied"] == 500
     assert not os.path.exists(os.path.join(tdir, "_imports", "_raw-mem2"))
-    assert not os.path.exists(os.path.join(tdir, "_imports", "_staged-mem2"))
+    leftovers = [
+        d for d in os.listdir(os.path.join(tdir, "_imports"))
+        if d.startswith("_staged-mem2")
+    ]
+    assert not leftovers
 
 
 def test_export_single_action(spark, tmp_path):

@@ -1,0 +1,139 @@
+"""Regression tests for the round-4 review findings: the stale-HEAD
+retry wedge, loser lineage overwrite, patch-mode transform schema, and
+patch per-bucket lineage for stale-only buckets."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import ConcurrentWriteError, LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+def test_stale_head_does_not_wedge_retries(spark, tmp_path):
+    """Crash between the snapshot publish (the real commit) and the
+    HEAD write leaves HEAD readable but STALE. Loading must take
+    max(HEAD, newest snapshot) — trusting HEAD would recompute the
+    published version forever and loop on ConcurrentWriteError."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0)
+    committed = t.version
+    # simulate the crash window: publish snapshot v+1, leave HEAD stale
+    nxt = dict(t.manifest)
+    nxt["version"] = committed + 1
+    nxt["parent"] = committed
+    with open(os.path.join(path, "snapshots", f"v{committed + 1:08d}.json"), "w") as f:
+        f.write(json.dumps(nxt))
+    assert int(open(os.path.join(path, "HEAD")).read()) == committed  # stale
+    t2 = LakeTable.load(spark, path)
+    assert t2.version == committed + 1  # newest snapshot wins
+    # and the next merge commits cleanly past it (no CAS loop)
+    res = t2.merge(_env(spark, [(1, "insert", "r", "b", "y")]), stream_id="s", batch_id=1)
+    assert not res["skipped"]
+    assert LakeTable.load(spark, path).version == committed + 2
+
+
+def test_loser_cannot_overwrite_winner_lineage(spark, tmp_path):
+    """The snapshot CAS runs BEFORE the lineage write: a rejected
+    concurrent writer must leave the winner's lineage/v{N}.json
+    untouched."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "base", "v0")]), stream_id="a", batch_id=0)
+    a = LakeTable.load(spark, path)
+    b = LakeTable.load(spark, path)
+    a.merge(_env(spark, [(1, "insert", "r", "pa", "A")]), stream_id="a", batch_id=1)
+    won_version = a.version
+    with pytest.raises(ConcurrentWriteError):
+        b.merge(_env(spark, [(2, "insert", "r", "pb", "B")]), stream_id="b", batch_id=0)
+    lineage = json.load(
+        open(os.path.join(path, "lineage", f"v{won_version:08d}.json"))
+    )
+    assert lineage["stream_id"] == "a"  # winner's record intact
+    assert lineage["batch_id"] == 1
+
+
+def test_patch_transform_added_columns_survive(spark, tmp_path):
+    """A transform that ADDS a column (the default sha256 pipeline
+    shape) in patch mode must land in the committed schema and be
+    readable — not silently dropped by a pre-transform schema."""
+    def add_sha(df):
+        return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(
+        _env(spark, [(0, "insert", "r", "p", "hello")]),
+        stream_id="s", batch_id=0, update_mode="patch", transform=add_sha,
+    )
+    t = t.refresh()
+    assert "content_sha256" in t.schema.names
+    row = t.read().collect()[0]
+    import hashlib
+
+    assert row["content_sha256"] == hashlib.sha256(b"hello").hexdigest()
+    # a later sparse patch re-derives the sha of the MERGED row
+    t.merge(
+        _env(spark, [(1, "update", "r", "p", "world")]),
+        stream_id="s", batch_id=1, update_mode="patch", transform=add_sha,
+    )
+    row = t.refresh().read().collect()[0]
+    assert row["content_sha256"] == hashlib.sha256(b"world").hexdigest()
+
+
+def test_patch_stale_only_bucket_keeps_lineage_fold(spark, tmp_path):
+    """Per-bucket counters must fold to totals even when some touched
+    buckets were entirely stale-filtered (no file staged for them)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(
+        _env(spark, [(10, "insert", "r", "p1", "a"), (11, "insert", "r", "p2", "b")]),
+        stream_id="s", batch_id=0, update_mode="patch",
+    )
+    t = t.refresh()
+    # batch 1: p1 gets a STALE event (offset 5 < 10), p2 a fresh one
+    res = t.merge(
+        _env(spark, [(5, "update", "r", "p1", "zombie"), (12, "update", "r", "p2", "c")]),
+        stream_id="s", batch_id=1, update_mode="patch",
+    )
+    assert res["mode"] == "patch"
+    assert res["totals"]["events"] == 2
+    agg = {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
+    for s in res["per_bucket"].values():
+        for k in agg:
+            agg[k] += s[k]
+    assert agg == res["totals"]
+    # ALL-stale batch also folds and reports its mode
+    res2 = t.refresh().merge(
+        _env(spark, [(6, "update", "r", "p1", "zombie2")]),
+        stream_id="s", batch_id=2, update_mode="patch",
+    )
+    assert res2["mode"] == "patch"
+    agg2 = {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
+    for s in res2["per_bucket"].values():
+        for k in agg2:
+            agg2[k] += s[k]
+    assert agg2 == res2["totals"] == {"events": 1, "applied": 0, "deduped": 1, "deleted": 0}
+    rows = {r["path"]: r["content"] for r in t.refresh().read().collect()}
+    assert rows == {"p1": "a", "p2": "c"}
+
+
+def test_read_rejects_unknown_resolve(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    with pytest.raises(ValueError):
+        t.read(resolve="shufle")
