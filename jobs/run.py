@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--cores", type=int, default=None)
         s.add_argument("--salt", type=int, default=32)
         s.add_argument("--buckets", type=int, default=64)
+        s.add_argument("--update-mode", default="row", choices=["row", "patch"],
+                       help="row = full-row LWW replace; patch = field-level "
+                            "$set merge-patch (NULL column = leave unchanged, "
+                            "the reference's Mongo update semantics)")
         if name == "backfill":
             s.add_argument("--start-offset", type=int, default=0)
             s.add_argument("--max-size", type=int, default=None)
@@ -206,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.log, args.table, state, args.pipeline_id,
             start_offset=args.start_offset, max_size=args.max_size,
             batch_size=args.batch_size, salt_buckets=args.salt,
+            update_mode=args.update_mode,
         )
         print(json.dumps(st))
         return 0
@@ -233,6 +238,7 @@ def _run_stream(spark, args, state) -> None:
             salt_buckets=args.salt,
             state=state,
             pipeline_id=args.pipeline_id,
+            update_mode=args.update_mode,
         )
         if args.drain:
             q.awaitTermination()

@@ -43,6 +43,7 @@ def make_apply_batch(
     on_error: Callable[[BaseException], None] | None = None,
     compact_threshold: int | None = 8,
     callbacks: LifecycleCallbacks | None = None,
+    update_mode: str = "row",
 ):
     """Build the foreachBatch body. The table is re-loaded per batch
     (cheap manifest read) so concurrent readers/compaction see a
@@ -60,6 +61,7 @@ def make_apply_batch(
                 batch_df, stream_id=stream_id, batch_id=batch_id,
                 salt_buckets=salt_buckets, transform=transform,
                 compact_threshold=compact_threshold,
+                update_mode=update_mode,
             )
         except BaseException as e:
             if on_error is not None:
@@ -112,6 +114,7 @@ def start_stream(
     metrics: list | None = None,
     compact_threshold: int | None = 8,
     callbacks: LifecycleCallbacks | None = None,
+    update_mode: str = "row",
 ) -> StreamingQuery:
     """Tail the ordered event log and apply it to the table.
 
@@ -140,6 +143,7 @@ def start_stream(
             metrics=metrics,
             compact_threshold=compact_threshold,
             callbacks=callbacks,
+            update_mode=update_mode,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

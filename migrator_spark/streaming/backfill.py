@@ -42,6 +42,7 @@ def run_backfill(
     schema=ENVELOPE_SCHEMA,
     compact_threshold: int | None = 8,
     callbacks: LifecycleCallbacks | None = None,
+    update_mode: str = "row",
 ) -> dict:
     """Apply the log slice [start_offset, start_offset + max_size) to
     the table in ``batch_size``-event MERGE commits (one commit when
@@ -58,6 +59,7 @@ def run_backfill(
             spark, log_dir, table_path, state, pipeline_id, start_offset,
             max_size, batch_size, transform, salt_buckets, schema,
             compact_threshold, callbacks or LifecycleCallbacks(),
+            update_mode=update_mode,
         )
 
 
@@ -65,6 +67,7 @@ def _run_backfill_locked(
     spark, log_dir, table_path, state, pipeline_id, start_offset,
     max_size, batch_size, transform, salt_buckets, schema,
     compact_threshold=8, callbacks: LifecycleCallbacks | None = None,
+    update_mode: str = "row",
 ) -> dict:
     cb = callbacks or LifecycleCallbacks()
     saved = state.get(pipeline_id).get("migration_offset", 0)
@@ -112,6 +115,7 @@ def _run_backfill_locked(
                 # (one extra narrow pass there; later chunks and
                 # resumed runs ride the cheap winner-level check)
                 validate_offsets=(saved == 0 and lo == effective_start),
+                update_mode=update_mode,
             )
             lo += step
             st = state.get(pipeline_id)
