@@ -957,7 +957,9 @@ class LakeTable:
         try:
             # O(keys-in-batch) rows; this collect both materializes the
             # cache and prunes the current-state read to touched buckets
-            ev_rows = folded.groupBy("_wb").agg(F.sum("_n").alias("_s")).collect()
+            ev_rows = folded.groupBy("_wb").agg(
+                F.sum("_n").alias("_s"), F.count(F.lit(1)).alias("_k")
+            ).collect()
             affected = sorted(int(r["_wb"]) for r in ev_rows)
             if not affected:
                 result = self._commit(
@@ -971,11 +973,27 @@ class LakeTable:
                 return result
             ev_by_b = {int(r["_wb"]): int(r["_s"]) for r in ev_rows}
             events_total = sum(ev_by_b.values())
+            batch_keys = sum(int(r["_k"]) for r in ev_rows)
             cur = self._bucket_local_resolved(buckets=affected)
             cur = cur.select(
                 *[F.col(k) for k in key_cols],
                 *[F.col(c).alias(f"_cur_{c}") for c in cur.columns if c not in key_cols],
             )
+            # The read-modify join is patch mode's inherent cost — keep
+            # the EXPENSIVE side (the resolved current state of the
+            # affected buckets) from shuffling. An outer join cannot
+            # broadcast its preserved (folded) side, so instead: a
+            # broadcast LEFT-SEMI prefilter shrinks the current state
+            # to the batch's keys while the big scan streams past the
+            # broadcast hash table (never exchanged), and the left
+            # join that follows shuffles only two O(batch-keys) sides.
+            # The key count is free from the per-bucket collect above;
+            # huge patch sets skip the prefilter (the broadcast would
+            # strain the driver) and take the plain shuffle join.
+            if batch_keys <= 2_000_000:
+                cur = cur.join(
+                    F.broadcast(folded.select(*key_cols)), on=key_cols, how="left_semi"
+                )
             j = folded.join(cur, on=key_cols, how="left")
             # stale replay guard (batch granularity, see contract)
             j = j.filter(
