@@ -96,6 +96,19 @@ BUCKET_COL = "_bucket"
 META_COLS = ("offset", "op", "ts")
 
 
+def _table_schema_of(payload: "T.StructType") -> "T.StructType":
+    """Payload schema + the engine meta tail (_last_offset, _deleted) —
+    the one place the committed-schema shape is defined (row mode,
+    patch mode, and create() all assemble it here)."""
+    return T.StructType(
+        list(payload.fields)
+        + [
+            T.StructField(LAST_OFFSET_COL, T.LongType(), True),
+            T.StructField(DELETED_COL, T.BooleanType(), True),
+        ]
+    )
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this snapshot version first. The
     loser's staged data directory is attempt-unique (never shared), so
@@ -230,7 +243,13 @@ class LakeTable:
         io: TableIO | None = None,
     ) -> "LakeTable":
         io = io or LocalTableIO()
-        if io.exists(os.path.join(path, "HEAD")):
+        # existence = HEAD *or* any published snapshot: a crash between
+        # snapshot publish and the HEAD write must read as "exists"
+        # (if_not_exists then loads via the max-snapshot fallback)
+        # rather than re-creating v1 and wedging on the snapshot CAS
+        if io.exists(os.path.join(path, "HEAD")) or io.glob(
+            os.path.join(path, "snapshots"), "v*.json"
+        ):
             if if_not_exists:
                 return cls.load(spark, path, io=io)
             raise FileExistsError(f"table already exists at {path}")
@@ -246,13 +265,7 @@ class LakeTable:
         # compare against). Tombstones are invisible to read() and are
         # garbage-collected by compact_tombstones() once no replay can
         # reach behind them — the LSM/Cassandra tombstone model.
-        table_schema = T.StructType(
-            list(payload_schema.fields)
-            + [
-                T.StructField(LAST_OFFSET_COL, T.LongType(), True),
-                T.StructField(DELETED_COL, T.BooleanType(), True),
-            ]
-        )
+        table_schema = _table_schema_of(payload_schema)
         manifest = {
             "version": 1,
             "schema": table_schema.jsonValue(),
@@ -716,13 +729,7 @@ class LakeTable:
             [f for f in self.schema.fields if f.name not in (LAST_OFFSET_COL, DELETED_COL)]
         )
         unified_payload, added = reconcile_schemas(table_payload, payload)
-        new_table_schema = T.StructType(
-            list(unified_payload.fields)
-            + [
-                T.StructField(LAST_OFFSET_COL, T.LongType(), True),
-                T.StructField(DELETED_COL, T.BooleanType(), True),
-            ]
-        )
+        new_table_schema = _table_schema_of(unified_payload)
         payload_names = [f.name for f in unified_payload.fields]
         for f in unified_payload.fields:  # align evolution columns
             if f.name not in winners.columns:
@@ -894,6 +901,7 @@ class LakeTable:
                     "version": manifest["version"],
                     "stream_id": stream_id,
                     "batch_id": batch_id,
+                    "mode": "patch",
                 }
         key_cols = self.key_cols
         b_total = self.num_buckets
@@ -925,13 +933,7 @@ class LakeTable:
             [T.StructField(f.name, f.dataType, True) for f in patch_fields]
         )
         unified_payload, added = reconcile_schemas(table_payload, batch_payload)
-        new_table_schema = T.StructType(
-            list(unified_payload.fields)
-            + [
-                T.StructField(LAST_OFFSET_COL, T.LongType(), True),
-                T.StructField(DELETED_COL, T.BooleanType(), True),
-            ]
-        )
+        new_table_schema = _table_schema_of(unified_payload)
         aggs = [
             F.max(F.col(order_col)).alias("_omax"),
             F.max(F.when(F.col(op_col) == "delete", F.col(order_col))).alias("_dmax"),
@@ -987,10 +989,17 @@ class LakeTable:
             # to the batch's keys while the big scan streams past the
             # broadcast hash table (never exchanged), and the left
             # join that follows shuffles only two O(batch-keys) sides.
-            # The key count is free from the per-bucket collect above;
-            # huge patch sets skip the prefilter (the broadcast would
-            # strain the driver) and take the plain shuffle join.
-            if batch_keys <= 2_000_000:
+            # The cap is BYTE-aware, not just row-count: key columns
+            # are arbitrary-length strings, so the guard uses
+            # Catalyst's size estimate of the slim key projection when
+            # available (≤128 MB broadcast) and falls back to a
+            # conservative key-count bound (500k keys ≈ tens of MB at
+            # typical key widths). Larger patch sets skip the
+            # prefilter and take the plain shuffle join.
+            pref_bytes = _plan_size_bytes(folded.select(*key_cols))
+            if (pref_bytes is not None and pref_bytes <= (128 << 20)) or (
+                pref_bytes is None and batch_keys <= 500_000
+            ):
                 cur = cur.join(
                     F.broadcast(folded.select(*key_cols)), on=key_cols, how="left_semi"
                 )
@@ -1044,13 +1053,7 @@ class LakeTable:
                     ]
                 )
                 unified_payload, added = reconcile_schemas(table_payload, post_payload)
-                new_table_schema = T.StructType(
-                    list(unified_payload.fields)
-                    + [
-                        T.StructField(LAST_OFFSET_COL, T.LongType(), True),
-                        T.StructField(DELETED_COL, T.BooleanType(), True),
-                    ]
-                )
+                new_table_schema = _table_schema_of(unified_payload)
             obs = Observation()
             delta = winners.observe(
                 obs,
@@ -1438,5 +1441,10 @@ class LakeTable:
         for cpath in empty_dirs:
             self.io.rmtree(cpath)
         for name in snaps[:-keep]:
+            self.io.remove(os.path.join(sdir, name))
+        # exclusive-write temps orphaned by a hard crash inside the
+        # publish window (v*.json.x.<uuid>) — reap them here so
+        # crash-prone long-lived tables don't accumulate them
+        for name in self.io.glob(sdir, "v*.json.x.*"):
             self.io.remove(os.path.join(sdir, name))
         return len(doomed)

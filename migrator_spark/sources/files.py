@@ -227,6 +227,8 @@ def import_into_table(
             table.io.rmtree(
                 os.path.join(imports_dir, f"_staged-{name}-{prior['nonce']}")
             )
+        # pre-nonce releases staged under the bare name — reap that too
+        table.io.rmtree(os.path.join(imports_dir, f"_staged-{name}"))
         # state FIRST (names the nonce), then the one offset-stamped
         # chunk-partitioned staging write: each commit below reads only
         # its _chunk=<b> directory. A crash mid-staging leaves no

@@ -269,3 +269,38 @@ def test_backfill_patch_mode_end_to_end(spark, tmp_path):
     assert len(got) == len(oracle)
     assert (got["content"].values == oracle["content"].values).all()
     assert (got["content_sha256"].values == oracle["content_sha256"].values).all()
+
+
+def test_patch_with_compaction_and_tombstone_gc(spark, tmp_path):
+    """Patch merges under an aggressive compact_threshold: amortized
+    bucket-local compaction and tombstone GC must preserve the fold."""
+    events = _gen_events(1200, 80, seed=23)
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    step = 200
+    for b in range(6):
+        chunk = [e for e in events if b * step <= e[0] < (b + 1) * step]
+        t = t.refresh()
+        t.merge(
+            spark.createDataFrame(chunk, ENV), stream_id="s", batch_id=b,
+            update_mode="patch", compact_threshold=2,
+        )
+    t = t.refresh()
+    # compaction really fired: no bucket chain exceeds threshold+1
+    assert max(len(fl) for fl in t.manifest["buckets"].values()) <= 3
+    want = {
+        k: {"commit": v["commit"], "lang": v["lang"], "content": v["content"]}
+        for k, v in _python_fold(events).items()
+    }
+    got = {
+        k: {"commit": v["commit"], "lang": v["lang"], "content": v["content"]}
+        for k, v in _table_state(t).items()
+    }
+    assert got == want
+    # tombstone GC and a follow-up patch still agree
+    t.compact_tombstones(min_offset=10_000)
+    t = t.refresh()
+    got2 = {
+        k: {"commit": v["commit"], "lang": v["lang"], "content": v["content"]}
+        for k, v in _table_state(t).items()
+    }
+    assert got2 == want

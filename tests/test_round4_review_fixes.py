@@ -137,3 +137,35 @@ def test_read_rejects_unknown_resolve(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
     with pytest.raises(ValueError):
         t.read(resolve="shufle")
+
+
+def test_create_if_not_exists_survives_missing_head(spark, tmp_path):
+    """Crash between snapshot publish and HEAD write during create (or
+    a lost HEAD): create(if_not_exists=True) must LOAD via the
+    max-snapshot fallback, not re-create v1 and wedge on the CAS."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "a", "x")]), stream_id="s", batch_id=0)
+    os.remove(os.path.join(path, "HEAD"))  # the crash window
+    t2 = LakeTable.create(
+        spark, path, PAYLOAD, ["repo", "path"], num_buckets=4, if_not_exists=True
+    )
+    assert t2.version == t.version  # loaded, not re-created
+    assert t2.count() == 1
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+
+
+def test_expire_reaps_orphaned_exclusive_temps(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+    for b in range(3):
+        t = t.refresh()
+        t.merge(_env(spark, [(b, "insert", "r", f"p{b}", "x")]), stream_id="s", batch_id=b)
+    sdir = os.path.join(path, "snapshots")
+    orphan = os.path.join(sdir, "v00000002.json.x.deadbeef")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    t.refresh().expire_snapshots(keep=1)
+    assert not os.path.exists(orphan)
+    assert LakeTable.load(spark, path).count() == 3
