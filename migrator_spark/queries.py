@@ -1055,6 +1055,56 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_APPLY_FULL = SQL_CDC_LWW_FINAL_STATE
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified BALANCED sample of the documents
+    corpus: every language stratum is downsampled to the size of the
+    smallest stratum, keeping the docs with the lowest
+    md5(doc_id) — a seedless, engine-agnostic coin so both Spark and
+    the DuckDB oracle pick the IDENTICAL sample (hex md5 strings order
+    the same everywhere; no engine RNG in the path). This is the
+    training-data rebalancing op (cap every language/source at a
+    budget) expressed declaratively.
+
+    Scale note: the per-stratum ranking window shuffles each stratum to
+    its reducers; with few huge strata replace row_number with a hash
+    THRESHOLD (approx-quantile of md5 per stratum, then a plain pushed
+    filter) — same sample within quantile error, no windowed sort."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    hs = F.md5(F.col("doc_id").cast("string"))
+    mn = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.min("_n").alias("_mn"))
+    )
+    ranked = d.withColumn("_hs", hs).withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("lang").orderBy("_hs", "doc_id")),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(mn))
+        .filter(F.col("_rk") <= F.col("_mn"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+), mn AS (
+  SELECT min(cnt) AS m
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang FROM ranked, mn WHERE rk <= m ORDER BY lang, doc_id
+"""
+
+
 def q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END engine run of ``update_mode="patch"`` (the
     reference's Mongo $set merge-patch, mongo.go:334-343): the envelope
@@ -1169,6 +1219,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "dedup_exact": q_dedup_exact,
     "lang_profile": q_lang_profile,
+    "stratified_sample": q_stratified_sample,
     "embedding_topk": q_embedding_topk,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
@@ -1205,6 +1256,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "lang_profile": SQL_LANG_PROFILE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
     "simhash_dups": SQL_SIMHASH_DUPS,

@@ -304,3 +304,32 @@ def test_patch_with_compaction_and_tombstone_gc(spark, tmp_path):
         for k, v in _table_state(t).items()
     }
     assert got2 == want
+
+
+def test_streaming_apply_batch_patch_mode(spark, tmp_path):
+    """The foreachBatch body built by streaming/apply.py threads
+    update_mode='patch' through to merge, with lineage accounting and
+    redelivery skip intact."""
+    from migrator_spark.streaming.apply import make_apply_batch
+
+    tdir = str(tmp_path / "t")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    metrics = []
+    apply_batch = make_apply_batch(
+        tdir, stream_id="sp", transform=None, metrics=metrics,
+        update_mode="patch",
+    )
+    apply_batch(
+        spark.createDataFrame([(0, "insert", "r", "p", "c0", "go", "x")], ENV), 0
+    )
+    apply_batch(
+        spark.createDataFrame([(1, "update", "r", "p", None, "rust", None)], ENV), 1
+    )
+    # redelivery of batch 1 must be skipped
+    apply_batch(
+        spark.createDataFrame([(1, "update", "r", "p", None, "zig", None)], ENV), 1
+    )
+    assert [m.get("mode") for m in metrics] == ["patch", "patch", "patch"]
+    assert metrics[2]["skipped"]
+    row = LakeTable.load(spark, tdir).read().collect()[0]
+    assert (row["commit"], row["lang"], row["content"]) == ("c0", "rust", "x")
