@@ -125,3 +125,34 @@ def test_evolution_columns_null_padded_in_local_read(spark, tmp_path):
     assert len(got) == 25 and all(r["lang"] is not None for r in got)
     old = t.read().filter(F.col("path").startswith("p")).select("lang").collect()
     assert all(r["lang"] is None for r in old)
+
+
+def test_timestamp_payload_roundtrip_bucket_local(spark, tmp_path):
+    """Timestamp payload columns survive the bucket-local pyarrow
+    read + compact (parquet physical type -> the table's arrow
+    timestamp[us, UTC]) identically to the shuffle resolver."""
+    import datetime
+
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("mtime", T.TimestampType(), True),
+            T.StructField("size", T.DoubleType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), payload, ["repo", "path"], num_buckets=4)
+    rows = [
+        (i, "insert", "r", f"p{i}", datetime.datetime(2026, 1, 1, 12, 0, i), float(i))
+        for i in range(20)
+    ]
+    env = spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, mtime timestamp, size double"
+    )
+    t.merge(env, stream_id="s", batch_id=0)
+    local = _rows(t.read())
+    assert local == _rows(t.read(resolve="shuffle"))
+    assert len(local) == 20
+    t.compact()
+    t = t.refresh()
+    assert _rows(t.read()) == local
