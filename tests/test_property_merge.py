@@ -81,3 +81,89 @@ def test_any_interleaving_matches_fold(spark, tmp_path_factory, events, cuts):
         for r in LakeTable.load(spark, tdir).read().collect()
     }
     assert got == expected
+
+
+# --- patch mode: ANY sparse interleaving + ANY batch cuts == $set fold ----
+
+sparse_ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(range(len(KEYS))),
+        st.sampled_from(["insert", "update", "update", "delete"]),
+        # each payload column independently present or absent
+        st.one_of(st.none(), st.text(alphabet="abcx", min_size=0, max_size=6)),
+        st.one_of(st.none(), st.sampled_from(["go", "py", "rs"])),
+        st.one_of(st.none(), st.text(alphabet="mnop \n", min_size=0, max_size=10)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _set_fold(events):
+    """$set semantics: apply non-null fields in offset order; delete
+    clears the row."""
+    state = {}
+    for off, (ki, op, commit, lang, content) in enumerate(events):
+        key = KEYS[ki]
+        if op == "delete":
+            state.pop(key, None)
+            continue
+        row = state.setdefault(key, {"commit": None, "lang": None, "content": None})
+        for col, v in (("commit", commit), ("lang", lang), ("content", content)):
+            if v is not None:
+                row[col] = v
+        row["off"] = off
+    return {
+        k: (v["off"], v["commit"], v["lang"], v["content"]) for k, v in state.items()
+    }
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=sparse_ops_strategy, cuts=cuts_strategy)
+def test_patch_any_sparse_interleaving_matches_set_fold(
+    spark, tmp_path_factory, events, cuts
+):
+    """update_mode="patch" over ANY sparse event interleaving split at
+    ANY batch boundaries equals the per-event $set fold — the
+    hypothesis generalization of the example-based merge-patch
+    conformance suite."""
+    payload = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    tdir = str(tmp_path_factory.mktemp("prop-patch") / "t")
+    table = LakeTable.create(spark, tdir, payload, KEY_COLS, num_buckets=4)
+    rows = []
+    for off, (ki, op, commit, lang, content) in enumerate(events):
+        repo, path = KEYS[ki]
+        if op == "delete":
+            commit = lang = content = None
+        rows.append((off, op, repo, path, commit, lang, content))
+    env_schema = (
+        "offset long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    bounds = sorted({0, len(rows), *[c for c in cuts if c < len(rows)]})
+    for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        batch = spark.createDataFrame(rows[lo:hi], env_schema)
+        table = LakeTable.load(spark, tdir)
+        table.merge(
+            batch, stream_id="prop", batch_id=b, update_mode="patch",
+            validate_offsets=True,
+        )
+    expected = _set_fold(events)
+    got = {
+        (r["repo"], r["path"]): (r["_last_offset"], r["commit"], r["lang"], r["content"])
+        for r in LakeTable.load(spark, tdir).read().collect()
+    }
+    assert got == expected
