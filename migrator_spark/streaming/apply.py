@@ -26,7 +26,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from migrator_spark.functions.transforms import default_cdc_transform
 from migrator_spark.lifecycle import LifecycleCallbacks, attach_stop_listener
-from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.plans.laketable import ConcurrentWriteError, LakeTable
 from migrator_spark.schema import ENVELOPE_SCHEMA
 from migrator_spark.state import StateStore
 
@@ -57,12 +57,29 @@ def make_apply_batch(
         t0 = time.monotonic()
         table = LakeTable.load(batch_df.sparkSession, table_path)
         try:
-            lineage = table.merge(
-                batch_df, stream_id=stream_id, batch_id=batch_id,
-                salt_buckets=salt_buckets, transform=transform,
-                compact_threshold=compact_threshold,
-                update_mode=update_mode,
-            )
+            try:
+                lineage = table.merge(
+                    batch_df, stream_id=stream_id, batch_id=batch_id,
+                    salt_buckets=salt_buckets, transform=transform,
+                    compact_threshold=compact_threshold,
+                    update_mode=update_mode,
+                )
+            except ConcurrentWriteError:
+                # an external maintenance job (compaction / tombstone
+                # GC / vacuum committer) or a zombie duplicate of this
+                # stream won the version race mid-merge. Reload and
+                # retry ONCE: the committed (stream, batch) guard makes
+                # the retry a clean no-op if the winner was our own
+                # batch, and a clean re-apply otherwise. A second
+                # failure propagates — sustained contention means two
+                # live writers, which the run-lock forbids.
+                table = LakeTable.load(batch_df.sparkSession, table_path)
+                lineage = table.merge(
+                    batch_df, stream_id=stream_id, batch_id=batch_id,
+                    salt_buckets=salt_buckets, transform=transform,
+                    compact_threshold=compact_threshold,
+                    update_mode=update_mode,
+                )
         except BaseException as e:
             if on_error is not None:
                 on_error(e)

@@ -127,3 +127,52 @@ def test_write_text_exclusive_semantics():
         with pytest.raises(FileExistsError):
             pio.write_text_exclusive(p, "2")
         assert pio.read_text(p) == "1"
+
+
+def test_stream_apply_batch_retries_after_concurrent_write(spark, tmp_path):
+    """A foreachBatch merge that loses the version race to a
+    maintenance commit retries once against the fresh snapshot instead
+    of killing the stream."""
+    from migrator_spark.streaming.apply import make_apply_batch
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4)
+    t.merge(_env(spark, [(0, "insert", "r", "base", "v0")]), stream_id="cdc", batch_id=0)
+
+    # first load returns a handle that a racing maintenance commit
+    # then makes stale; the retry's load sees the fresh snapshot
+    orig_load = LakeTable.load.__func__
+    stale = orig_load(LakeTable, spark, path)
+    calls = {"n": 0}
+
+    def racing_load(cls, s, p, io=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # maintenance job commits AFTER the stream grabbed its
+            # handle but BEFORE its merge publishes (explicit bucket
+            # list forces a real compaction commit)
+            maint = orig_load(cls, s, p, io=io)
+            res = maint.compact(buckets=[int(b) for b in maint.manifest["buckets"]])
+            assert res["compacted_buckets"] > 0
+            return stale
+        return orig_load(cls, s, p, io=io)
+
+    LakeTable.load = classmethod(racing_load)
+    try:
+        metrics = []
+        apply_batch = make_apply_batch(
+            path, stream_id="cdc", transform=None, metrics=metrics
+        )
+        apply_batch(
+            spark.createDataFrame(
+                [(1, "insert", "r", "pa", "A")],
+                "offset long, op string, repo string, path string, content string",
+            ),
+            1,
+        )
+    finally:
+        LakeTable.load = classmethod(orig_load)
+    assert calls["n"] >= 2  # the retry reloaded
+    assert not metrics[0]["skipped"]
+    rows = {r["path"]: r["content"] for r in LakeTable.load(spark, path).read().collect()}
+    assert rows == {"base": "v0", "pa": "A"}
