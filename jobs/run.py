@@ -51,7 +51,20 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--pipeline-id", default="p1")
         s.add_argument("--cores", type=int, default=None)
         s.add_argument("--salt", type=int, default=32)
-        s.add_argument("--buckets", type=int, default=64)
+        s.add_argument("--buckets", type=int, default=64,
+                       help="hash buckets for the target table. Buckets are the "
+                            "table's read-parallelism AND per-task memory unit: "
+                            "read() runs one resolver task per bucket and "
+                            "materializes one bucket per task, so size for "
+                            "~256 MB/bucket (a 100-TB table wants hundreds of "
+                            "thousands of buckets, not 64). Oversized buckets "
+                            "stay correct — the per-bucket budget guard falls "
+                            "back to the shuffle resolver — but lose "
+                            "exchange-freedom. See --expected-bytes.")
+        s.add_argument("--expected-bytes", type=int, default=None,
+                       help="expected eventual table size (uncompressed bytes); "
+                            "emits a sizing warning when --buckets implies "
+                            ">1 GiB per bucket")
         s.add_argument("--update-mode", default="row", choices=["row", "patch"],
                        help="row = full-row LWW replace; patch = field-level "
                             "$set merge-patch (NULL column = leave unchanged, "
@@ -80,11 +93,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="also GC tombstones older than this offset (tie to checkpoint retention)")
     k.add_argument("--expire-keep", type=int, default=None,
                    help="also expire all but the newest N snapshots (vacuum)")
+    k.add_argument("--orphan-grace", type=float, default=24 * 3600.0,
+                   help="seconds an UNREFERENCED commit dir must age before the "
+                        "vacuum reaps it (protects a live writer's in-flight "
+                        "commit; 0 = eager, single-writer maintenance only)")
     k.add_argument("--cores", type=int, default=None)
 
     n = sub.add_parser("count", help="row count: O(1) manifest estimate vs accurate scan")
     n.add_argument("--table", required=True)
     n.add_argument("--accurate", action="store_true", help="also run the exact LWW-resolved count")
+    n.add_argument("--resolve", default=None, choices=["local", "shuffle"],
+                   help="LWW resolver for --accurate: local (default; "
+                        "budget-guarded bucket-local) or shuffle (escape hatch "
+                        "for sessions without Python workers)")
     n.add_argument("--cores", type=int, default=None)
 
     imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
@@ -100,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--table", required=True)
     exp.add_argument("--dest", required=True)
     exp.add_argument("--format", default="csv", choices=["csv", "parquet", "jsonl"])
+    exp.add_argument("--resolve", default=None, choices=["local", "shuffle"],
+                     help="LWW resolver for the export read (see count --resolve)")
     exp.add_argument("--cores", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -117,7 +140,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "status":
         from migrator_spark.state import StateStore
 
-        print(json.dumps(StateStore(os.path.join(args.work, "state")).get(args.pipeline_id)))
+        st = StateStore(os.path.join(args.work, "state")).get(args.pipeline_id) or {}
+        # operator-facing quality/scaling signals from the latest bench
+        # record, when one exists next to the repo (bench.py writes it)
+        rec_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH", "last_record.json",
+        )
+        if os.path.exists(rec_path):
+            try:
+                with open(rec_path) as f:
+                    rec = json.load(f)
+                st["bench"] = {
+                    k: rec.get(k)
+                    for k in ("efficiency_vs_exchange_control", "ann_recall_at_10")
+                    if rec.get(k) is not None
+                }
+            except Exception:
+                pass
+        print(json.dumps(st))
         return 0
 
     if args.mode == "compact":
@@ -130,7 +171,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.tombstones_before is not None:
             out["tombstones"] = table.refresh().compact_tombstones(args.tombstones_before)
         if args.expire_keep is not None:
-            out["expired_files"] = table.refresh().expire_snapshots(keep=args.expire_keep)
+            out["expired_files"] = table.refresh().expire_snapshots(
+                keep=args.expire_keep, orphan_grace_sec=args.orphan_grace
+            )
         print(json.dumps(out))
         return 0
 
@@ -142,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(spark, args.table)
         out = {"estimate": table.count(estimate=True), "version": table.version}
         if args.accurate:
-            out["accurate"] = table.count()
+            out["accurate"] = table.count(resolve=args.resolve)
         print(json.dumps(out))
         return 0
 
@@ -161,7 +204,8 @@ def main(argv: list[str] | None = None) -> int:
         from migrator_spark.sources.files import export_table
 
         spark = get_spark("migrator-export", cores=args.cores)
-        n_rows = export_table(spark, args.table, args.dest, fmt=args.format)
+        n_rows = export_table(spark, args.table, args.dest, fmt=args.format,
+                              resolve=args.resolve)
         print(json.dumps({"exported_rows": n_rows, "dest": args.dest, "format": args.format}))
         return 0
 
@@ -201,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
     LakeTable.create(
         spark, args.table, payload_schema, KEY_COLS,
         num_buckets=args.buckets, if_not_exists=True,
+        expected_table_bytes=args.expected_bytes,
     )
 
     if args.mode == "backfill":

@@ -595,19 +595,27 @@ def probe_buckets_scored(
     bit alike and wastes probes (measured 2-3x worse recall at equal
     read fraction on the synthetic corpus — BENCH/BASELINE.md).
 
-    Determinism contract: the cost is accumulated in FIXED bit order
-    (b = 0..bits-1, adding 0.0 for unflipped bits), ties break on
-    bucket id — the DuckDB oracle evaluates the identical explicit
-    addition chain, so both engines derive the same probe set
-    bit-for-bit."""
+    Determinism contract: each per-bit flip cost is QUANTIZED to an
+    integer (``round(|projection| * 1e6)``) before ranking, and the
+    cost is the integer sum over flipped bits in fixed bit order with
+    ties on bucket id. Integer sums are exact, so probe choice
+    tolerates sub-epsilon float divergence between this fold and the
+    oracle's ``list_dot_product`` — an unquantized float chain could
+    flip the probe SET on a 1-ulp accumulation difference near a cost
+    tie (only the per-term rounding boundary remains, ~1e-6-relative
+    instead of every tie). The DuckDB oracle applies the identical
+    per-term quantization."""
     planes = deterministic_planes(len(query_vec), num_bits, plane_prefix)
     qb = query_bucket(query_vec, planes)
-    ap = [abs(_fold_dot(query_vec, planes[b])) for b in range(num_bits)]
+    ap = [
+        int(round(abs(_fold_dot(query_vec, planes[b])) * 1e6))
+        for b in range(num_bits)
+    ]
 
-    def cost(bk: int) -> float:
-        c = 0.0
+    def cost(bk: int) -> int:
+        c = 0
         for b in range(num_bits):
-            c += ap[b] if (bk ^ qb) >> b & 1 else 0.0
+            c += ap[b] if (bk ^ qb) >> b & 1 else 0
         return c
 
     ranked = sorted(range(1 << num_bits), key=lambda bk: (cost(bk), bk))

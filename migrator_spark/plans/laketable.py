@@ -58,9 +58,14 @@ itself REJECTS a lost update if a second writer slips through: staged
 commit directories are attempt-unique, and publishing a snapshot is a
 create-exclusive of the immutable ``snapshots/v{N}.json`` — of two
 racers exactly one wins, the other raises :class:`ConcurrentWriteError`
-with nothing visible (see ``TableIO.write_text_exclusive`` for the
-per-backend CAS: POSIX hard-link, S3 conditional PUT shim). Readers
-are lock-free.
+with nothing visible. The strength of that guarantee is the backend's
+``TableIO.write_text_exclusive``: truly atomic on LocalTableIO (POSIX
+hard-link), MemTableIO, and :class:`~migrator_spark.plans.tableio.
+S3ConditionalTableIO` (real ``If-None-Match: *`` conditional PUT);
+plain ``PyArrowTableIO`` in object-store mode inherits a documented
+check-then-put SHIM with an exists→PUT race window — multi-writer
+object-store deployments must use the conditional-PUT IO or a catalog
+service, exactly as Iceberg does. Readers are lock-free.
 """
 
 from __future__ import annotations
@@ -93,7 +98,20 @@ from migrator_spark.schema import reconcile_schemas
 LAST_OFFSET_COL = "_last_offset"
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
+SET_COLS_COL = "_set_cols"
 META_COLS = ("offset", "op", "ts")
+
+# Per-bucket decode budget for the bucket-local resolver: a bucket
+# whose manifest-recorded uncompressed bytes exceed this resolves via
+# the shuffle formulation instead of being materialized whole inside
+# one mapInArrow task (the guard that turns the 100×-scale memory
+# cliff into a graceful fallback). Default 1 GiB ≈ half a typical
+# executor-task memory slice; override per deployment.
+LOCAL_RESOLVE_BUDGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_RESOLVE_BUDGET", str(1 << 30))
+)
+# bucket-sizing warning threshold in create() (see create docstring)
+_BUCKET_SIZING_WARN_BYTES = 1 << 30
 
 
 def _table_schema_of(payload: "T.StructType") -> "T.StructType":
@@ -132,23 +150,30 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def _staged_file_stats(path: str, read_counters: bool) -> tuple[int, int]:
-    """(rows, deletes) of one freshly staged delta file, read
-    driver-side with pyarrow — a footer read plus (optionally) one tiny
-    boolean column. This replaces a per-commit Spark job + collect
-    (the round-1 serial floor); at cluster scale the same reads go
-    through pyarrow.fs against HDFS/S3. Metadata-plane work: O(files
-    per commit), independent of batch size."""
+def _staged_file_stats(path: str, read_counters: bool, io: "TableIO") -> tuple[int, int, int]:
+    """(rows, deletes, uncompressed_bytes) of one freshly staged delta
+    file, read driver-side with pyarrow — a footer read plus
+    (optionally) one tiny boolean column. This replaces a per-commit
+    Spark job + collect (the round-1 serial floor). The file handle
+    comes from the TableIO seam (``io.open_input_file``), so on an
+    object-store table the same reads go through the table's
+    pyarrow.fs instead of silently requiring driver-local paths.
+    Metadata-plane work: O(files per commit), independent of batch
+    size. The byte figure is the UNCOMPRESSED row-group total — the
+    in-memory decode size the bucket-local resolver's budget guard
+    compares against, not the on-disk compressed size."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
-    rows = pf.metadata.num_rows
+    pf = pq.ParquetFile(io.open_input_file(path))
+    md = pf.metadata
+    rows = md.num_rows
+    nbytes = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
     if not read_counters or rows == 0:
-        return rows, 0
+        return rows, 0, nbytes
     t = pf.read(columns=[DELETED_COL])
     deletes = int(pc.sum(t[DELETED_COL].cast("int64")).as_py() or 0)
-    return rows, deletes
+    return rows, deletes, nbytes
 
 
 def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
@@ -241,8 +266,30 @@ class LakeTable:
         num_buckets: int = 64,
         if_not_exists: bool = False,
         io: TableIO | None = None,
+        expected_table_bytes: int | None = None,
     ) -> "LakeTable":
+        """``expected_table_bytes``: optional sizing hint — the caller's
+        estimate of the table's eventual (uncompressed) size. Buckets
+        are the table's parallelism AND memory unit (read parallelism
+        equals bucket count; the bucket-local resolver holds one bucket
+        in one task), so aim for ~256 MB/bucket: a warning fires when
+        the hint implies > ``_BUCKET_SIZING_WARN_BYTES`` per bucket.
+        Oversized buckets stay CORRECT (the per-bucket budget guard
+        falls back to the shuffle resolver) but lose exchange-freedom."""
         io = io or LocalTableIO()
+        if expected_table_bytes is not None and num_buckets > 0:
+            per = expected_table_bytes / num_buckets
+            if per > _BUCKET_SIZING_WARN_BYTES:
+                import warnings
+
+                rec = max(num_buckets, -(-expected_table_bytes // (256 << 20)))
+                warnings.warn(
+                    f"num_buckets={num_buckets} implies ~{per / (1 << 30):.1f} GiB "
+                    f"per bucket at the expected table size; reads parallelize "
+                    f"per-bucket and resolve one bucket per task — size "
+                    f"buckets at ~256 MB (suggest num_buckets>={rec})",
+                    stacklevel=2,
+                )
         # existence = HEAD *or* any published snapshot: a crash between
         # snapshot publish and the HEAD write must read as "exists"
         # (if_not_exists then loads via the max-snapshot fallback)
@@ -273,6 +320,7 @@ class LakeTable:
             "num_buckets": num_buckets,
             "buckets": {},
             "bucket_rows": {},
+            "bucket_bytes": {},
             "committed": {},
             "last_offset": -1,
             "lineage_totals": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
@@ -415,20 +463,88 @@ class LakeTable:
         files_df = self.spark.createDataFrame(rdd, "bucket int, files array<string>")
         return files_df.mapInArrow(resolver, schema=out_schema)
 
-    def read(self, buckets: list[int] | None = None, resolve: str = "local") -> DataFrame:
+    def _split_by_budget(
+        self, buckets: list[int] | None
+    ) -> tuple[list[int], list[int]]:
+        """Partition the requested buckets into (within-budget,
+        oversized) by the manifest's per-bucket uncompressed byte
+        totals vs :data:`LOCAL_RESOLVE_BUDGET_BYTES`. The budget is
+        the bucket-local resolver's memory guard: it materializes one
+        whole bucket per task, so an oversized bucket must take the
+        spill-capable shuffle path instead of OOMing the executor.
+        Buckets with no recorded bytes (pre-upgrade manifests) count
+        as within budget — the historical behaviour."""
+        bb = self.manifest.get("bucket_bytes", {})
+        req = [
+            int(b)
+            for b in sorted(self.manifest["buckets"], key=int)
+            if buckets is None or int(b) in set(buckets)
+        ]
+        budget = getattr(self, "local_resolve_budget_bytes", LOCAL_RESOLVE_BUDGET_BYTES)
+        if not budget or budget <= 0:
+            return req, []
+        small = [b for b in req if int(bb.get(str(b), 0)) <= budget]
+        big = [b for b in req if int(bb.get(str(b), 0)) > budget]
+        return small, big
+
+    def _resolved(
+        self, buckets: list[int] | None = None, with_bucket_col: bool = False
+    ) -> DataFrame:
+        """LWW-resolved rows (tombstones included) via the HYBRID
+        strategy: buckets within the per-bucket byte budget resolve
+        bucket-locally (zero exchange); oversized buckets fall back to
+        the shuffle formulation, which degrades gracefully (spills)
+        instead of materializing the whole bucket in one task. The two
+        paths are equality-pinned (tests/test_bucket_local_read.py,
+        test_bucket_resolve_guard.py); on a well-sized table
+        (~256 MB/bucket) the shuffle side is empty and the plan is
+        pure ``MapInArrow``. ``SPARK_GRAFT_RESOLVE=shuffle`` forces
+        the shuffle formulation for EVERYTHING going through this
+        resolver — read(), compact(), tombstone-GC and patch-mode's
+        current-state read — the bench's same-epoch A/B knob."""
+        if os.environ.get("SPARK_GRAFT_RESOLVE") == "shuffle":
+            shf = self._resolve_lww(self.read_raw(buckets))
+            if with_bucket_col:
+                shf = shf.withColumn(
+                    BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+                )
+            return shf
+        small, big = self._split_by_budget(buckets)
+        parts: list[DataFrame] = []
+        if small or not big:
+            parts.append(self._bucket_local_resolved(small, with_bucket_col))
+        if big:
+            shf = self._resolve_lww(self.read_raw(big))
+            if with_bucket_col:
+                shf = shf.withColumn(
+                    BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+                )
+            parts.append(shf)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, buckets: list[int] | None = None, resolve: str | None = None) -> DataFrame:
         """Current visible table state (LWW-resolved, tombstones
         filtered out).
 
-        ``resolve``: "local" (default) = bucket-local resolution, no
-        cross-bucket exchange; "shuffle" = the groupBy+join formulation
-        (kept as the equality witness and for sessions where Python
-        workers are unavailable)."""
+        ``resolve``: "local" (default) = bucket-local resolution with
+        the per-bucket budget guard — no cross-bucket exchange except
+        for manifest-flagged oversized buckets, which fall back to the
+        shuffle formulation per bucket; "shuffle" = the groupBy+join
+        formulation for everything (kept as the equality witness and
+        for sessions where Python workers are unavailable). ``None``
+        reads the default from ``SPARK_GRAFT_RESOLVE`` (the bench's
+        same-epoch A/B knob), else "local"."""
+        if resolve is None:
+            resolve = os.environ.get("SPARK_GRAFT_RESOLVE", "local")
         if resolve not in ("local", "shuffle"):
             raise ValueError(f"unknown resolve {resolve!r}")
         resolved = (
             self._resolve_lww(self.read_raw(buckets))
             if resolve == "shuffle"
-            else self._bucket_local_resolved(buckets)
+            else self._resolved(buckets)
         )
         return (
             resolved
@@ -436,7 +552,8 @@ class LakeTable:
             .drop(DELETED_COL)
         )
 
-    def count(self, estimate: bool = False, buckets: list[int] | None = None) -> int:
+    def count(self, estimate: bool = False, buckets: list[int] | None = None,
+              resolve: str | None = None) -> int:
         """Visible row count.
 
         ``estimate=True`` answers O(1) from the manifest — the sum of
@@ -454,7 +571,7 @@ class LakeTable:
             src = self.manifest.get("bucket_rows", {})
             keys = None if buckets is None else {str(b) for b in buckets}
             return sum(int(v) for b, v in src.items() if keys is None or b in keys)
-        return self.read(buckets=buckets).count()
+        return self.read(buckets=buckets, resolve=resolve).count()
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -538,6 +655,7 @@ class LakeTable:
                 order_col=order_col, op_col=op_col, transform=transform,
                 compact_threshold=compact_threshold,
                 validate_offsets=validate_offsets,
+                salt_buckets=salt_buckets, layout=layout,
             )
         if update_mode != "row":
             raise ValueError(f"unknown update_mode {update_mode!r}")
@@ -780,7 +898,7 @@ class LakeTable:
         n_parts = self.spark.sparkContext.defaultParallelism
         layout_salt = max(1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1)))
         t = time.monotonic()
-        staged, staged_rows, per_bucket = self._stage_and_promote(
+        staged, staged_rows, per_bucket, staged_bytes = self._stage_and_promote(
             delta, next_version, n_parts, salt_buckets=layout_salt,
             collect_stats=per_bucket_lineage, layout=layout,
         )
@@ -793,6 +911,7 @@ class LakeTable:
                 wmax.unpersist()
             return self._commit(
                 manifest["buckets"], dict(manifest.get("bucket_rows", {})),
+                dict(manifest.get("bucket_bytes", {})),
                 new_table_schema, stream_id, batch_id,
                 {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
                 {}, manifest["last_offset"], batch_bytes=cur_bytes,
@@ -819,13 +938,16 @@ class LakeTable:
                 s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
         new_buckets = dict(manifest["buckets"])
         new_rows = dict(manifest.get("bucket_rows", {}))
+        new_bytes = dict(manifest.get("bucket_bytes", {}))
         for b, rels in staged.items():
             new_buckets[str(b)] = new_buckets.get(str(b), []) + rels
             new_rows[str(b)] = new_rows.get(str(b), 0) + staged_rows.get(b, 0)
+            new_bytes[str(b)] = new_bytes.get(str(b), 0) + staged_bytes.get(b, 0)
 
         result = self._commit(
             new_buckets,
             new_rows,
+            new_bytes,
             new_table_schema,
             stream_id,
             batch_id,
@@ -858,6 +980,8 @@ class LakeTable:
         transform=None,
         compact_threshold: int | None = 8,
         validate_offsets: bool = False,
+        salt_buckets: int = 0,
+        layout: str = "cluster",
     ) -> dict:
         """Field-level merge-patch apply (``update_mode="patch"``) —
         the reference's Mongo ``$set`` upsert (mongo.go:334-343,
@@ -865,8 +989,15 @@ class LakeTable:
 
         Contract:
         - a NULL payload column in an insert/update event means "leave
-          the stored value unchanged" (consequently patch mode cannot
-          set a column to NULL — the standard $set limitation);
+          the stored value unchanged" — UNLESS the batch carries the
+          optional presence-mask column ``_set_cols array<string>``
+          and the column's name is listed in it for that event, in
+          which case the NULL is an EXPLICIT "$set to NULL" (the
+          reference's Mongo update puts the whole doc into $set
+          including explicit nulls, mongo.go:334-343; a parquet
+          envelope cannot distinguish absent from explicit-null
+          without the mask). Events with a NULL/absent mask keep the
+          plain sparse semantics;
         - insert and update are both patches (the upsert-everywhere
           reference semantics);
         - a delete clears the whole row; later events rebuild from
@@ -918,9 +1049,11 @@ class LakeTable:
                     f"batch violates the offset-uniqueness contract: "
                     f"{chk['n']} events but {chk['nd']} distinct offsets"
                 )
+        has_mask = SET_COLS_COL in ev.columns
         patch_fields = [
             f for f in ev.schema.fields
-            if f.name not in (order_col, op_col) and f.name not in key_cols
+            if f.name not in (order_col, op_col, SET_COLS_COL)
+            and f.name not in key_cols
         ]
         # reconcile up front (driver-side): like row mode, an EMPTY
         # batch that carries new envelope columns still evolves the
@@ -940,10 +1073,21 @@ class LakeTable:
             F.count(F.lit(1)).alias("_n"),
         ]
         for f in patch_fields:
+            # "set" = non-null value, OR explicitly listed in the
+            # event's presence mask (explicit "$set to NULL")
+            is_set = F.col(f.name).isNotNull()
+            if has_mask:
+                is_set = is_set | F.array_contains(
+                    F.coalesce(
+                        F.col(SET_COLS_COL),
+                        F.array().cast(T.ArrayType(T.StringType())),
+                    ),
+                    f.name,
+                )
             aggs.append(
                 F.max(
                     F.when(
-                        (F.col(op_col) != "delete") & F.col(f.name).isNotNull(),
+                        (F.col(op_col) != "delete") & is_set,
                         F.struct(
                             F.col(order_col).alias("o"), F.col(f.name).alias("v")
                         ),
@@ -966,6 +1110,7 @@ class LakeTable:
             if not affected:
                 result = self._commit(
                     manifest["buckets"], dict(manifest.get("bucket_rows", {})),
+                    dict(manifest.get("bucket_bytes", {})),
                     new_table_schema, stream_id, batch_id,
                     {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
                     {}, manifest["last_offset"],
@@ -976,7 +1121,7 @@ class LakeTable:
             ev_by_b = {int(r["_wb"]): int(r["_s"]) for r in ev_rows}
             events_total = sum(ev_by_b.values())
             batch_keys = sum(int(r["_k"]) for r in ev_rows)
-            cur = self._bucket_local_resolved(buckets=affected)
+            cur = self._resolved(buckets=affected)
             cur = cur.select(
                 *[F.col(k) for k in key_cols],
                 *[F.col(c).alias(f"_cur_{c}") for c in cur.columns if c not in key_cols],
@@ -1063,14 +1208,23 @@ class LakeTable:
             )
             next_version = manifest["version"] + 1
             n_parts = self.spark.sparkContext.defaultParallelism
-            staged, staged_rows, per_bucket = self._stage_and_promote(
-                delta, next_version, n_parts, salt_buckets=1, collect_stats=True,
+            # same adaptive layout salt as row mode (patch deltas carry
+            # LAST_OFFSET_COL + BUCKET_COL, so the salted repartition
+            # is identical in shape): a hot bucket spreads across
+            # writer tasks when the task pool exceeds the bucket count
+            layout_salt = max(
+                1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1))
+            )
+            staged, staged_rows, per_bucket, staged_bytes = self._stage_and_promote(
+                delta, next_version, n_parts, salt_buckets=layout_salt,
+                collect_stats=True, layout=layout,
             )
             m = obs.get
             if not staged or not m.get("winners"):
                 # every key in the batch was stale: record the commit
                 result = self._commit(
                     manifest["buckets"], dict(manifest.get("bucket_rows", {})),
+                    dict(manifest.get("bucket_bytes", {})),
                     new_table_schema, stream_id, batch_id,
                     {"events": events_total, "applied": 0,
                      "deduped": events_total, "deleted": 0},
@@ -1098,11 +1252,13 @@ class LakeTable:
                 s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
             new_buckets = dict(manifest["buckets"])
             new_rows = dict(manifest.get("bucket_rows", {}))
+            new_bytes = dict(manifest.get("bucket_bytes", {}))
             for b, rels in staged.items():
                 new_buckets[str(b)] = new_buckets.get(str(b), []) + rels
                 new_rows[str(b)] = new_rows.get(str(b), 0) + staged_rows.get(b, 0)
+                new_bytes[str(b)] = new_bytes.get(str(b), 0) + staged_bytes.get(b, 0)
             result = self._commit(
-                new_buckets, new_rows, new_table_schema, stream_id, batch_id,
+                new_buckets, new_rows, new_bytes, new_table_schema, stream_id, batch_id,
                 totals, per_bucket,
                 max(manifest["last_offset"], int(m["max_offset"])),
                 added=[f.name for f in added],
@@ -1128,7 +1284,7 @@ class LakeTable:
         into a staging dir, promote the WHOLE staging dir with one
         atomic rename to ``data/commit-v{N}/``, and return
         ({bucket: [relative paths]}, {bucket: rows},
-        {bucket: lineage stats or {}}).
+        {bucket: lineage stats or {}}, {bucket: uncompressed bytes}).
 
         ``salt_buckets`` salts the layout shuffle — THE skew-prone
         stage (north rule: explicit hot-key salting): a hot repo
@@ -1187,17 +1343,22 @@ class LakeTable:
             tasks.extend((b, r, os.path.join(self.path, r)) for r in rels)
         if not tasks:
             self.io.rmtree(commit_abs)
-            return {}, {}, {}
+            return {}, {}, {}, {}
         rows: dict[int, int] = {}
+        nbytes: dict[int, int] = {}
         stats: dict[int, dict] = {}
         t = time.monotonic()
         with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as pool:
             results = list(
-                pool.map(lambda t: (t[0], _staged_file_stats(t[2], collect_stats)), tasks)
+                pool.map(
+                    lambda t: (t[0], _staged_file_stats(t[2], collect_stats, self.io)),
+                    tasks,
+                )
             )
         _tlog(f"footer-stats({len(tasks)} files)", t)
-        for b, (n, deletes) in results:
+        for b, (n, deletes, fb) in results:
             rows[b] = rows.get(b, 0) + n
+            nbytes[b] = nbytes.get(b, 0) + fb
             if collect_stats:
                 s = stats.setdefault(
                     b, {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}
@@ -1208,7 +1369,7 @@ class LakeTable:
                 # they stay 0 there, documented)
                 s["applied"] += n - deletes
                 s["deleted"] += deletes
-        return out, rows, stats
+        return out, rows, stats, nbytes
 
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Rewrite the given buckets (default: all multi-file buckets)
@@ -1222,22 +1383,33 @@ class LakeTable:
             return {"compacted_buckets": 0, "version": self.version}
         # bucket-local rewrite: each bucket resolves within its own
         # task and writes straight back to its own dir — compaction
-        # never exchanges a byte across buckets
-        resolved = self._bucket_local_resolved(buckets=buckets, with_bucket_col=True)
+        # never exchanges a byte across buckets. Oversized buckets
+        # (per-bucket byte budget) route through the shuffle resolver
+        # via _resolved — the guard compact() inherits; their output
+        # still lands per-bucket through the "cluster" repartition.
+        local_b, big_b = self._split_by_budget(buckets)
+        resolved = self._resolved(buckets=buckets, with_bucket_col=True)
         next_version = self.manifest["version"] + 1
-        staged, staged_rows, _ = self._stage_and_promote(
-            resolved, next_version, len(buckets), layout="none"
+        staged, staged_rows, _, staged_bytes = self._stage_and_promote(
+            resolved, next_version, len(buckets),
+            # pure-local input is already one-bucket-per-partition; a
+            # hybrid (shuffle side present) must be re-clustered so
+            # each bucket's rows land in its own files
+            layout="none" if not big_b else "cluster",
         )
         new_buckets = dict(self.manifest["buckets"])
         new_rows = dict(self.manifest.get("bucket_rows", {}))
+        new_bytes = dict(self.manifest.get("bucket_bytes", {}))
         for b in buckets:
             new_buckets.pop(str(b), None)
             new_rows.pop(str(b), None)
+            new_bytes.pop(str(b), None)
         for b, rels in staged.items():
             new_buckets[str(b)] = rels
             new_rows[str(b)] = staged_rows.get(b, 0)
+            new_bytes[str(b)] = staged_bytes.get(b, 0)
         self._commit(
-            new_buckets, new_rows, self.schema, None, None,
+            new_buckets, new_rows, new_bytes, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
             self.manifest["last_offset"],
         )
@@ -1247,6 +1419,7 @@ class LakeTable:
         self,
         buckets: dict,
         bucket_rows: dict,
+        bucket_bytes: dict,
         table_schema: T.StructType,
         stream_id: str | None,
         batch_id: int | None,
@@ -1272,6 +1445,10 @@ class LakeTable:
             "num_buckets": old["num_buckets"],
             "buckets": buckets,
             "bucket_rows": bucket_rows,
+            # per-bucket UNCOMPRESSED byte totals (row-group
+            # total_byte_size summed at stage time): the manifest-level
+            # input to the bucket-local resolver's memory-budget guard
+            "bucket_bytes": bucket_bytes,
             "committed": committed,
             "last_offset": last_offset,
             "lineage_totals": lineage_totals,
@@ -1352,7 +1529,7 @@ class LakeTable:
         """Reference ``Clear`` (memory.go:239-249): drop all rows but
         keep the table (schema + committed history preserved)."""
         self._commit(
-            {}, {}, self.schema, None, None,
+            {}, {}, {}, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
             self.manifest["last_offset"],
         )
@@ -1370,7 +1547,7 @@ class LakeTable:
         # the distinct — ints, not payload); pass 2 rewrites them
         # bucket-locally, zero payload exchange
         has = (
-            self._bucket_local_resolved(with_bucket_col=True)
+            self._resolved(with_bucket_col=True)
             .filter(expirable)
             .select(BUCKET_COL)
             .distinct()
@@ -1379,60 +1556,105 @@ class LakeTable:
         affected = sorted(r[BUCKET_COL] for r in has)
         if not affected:
             return {"compacted_buckets": 0, "version": self.version}
+        _, big_b = self._split_by_budget(affected)
         keep_rows = (
-            self._bucket_local_resolved(buckets=affected, with_bucket_col=True)
+            self._resolved(buckets=affected, with_bucket_col=True)
             .filter(~expirable)
         )
         next_version = self.manifest["version"] + 1
-        staged, staged_rows, _ = self._stage_and_promote(
-            keep_rows, next_version, len(affected), layout="none"
+        staged, staged_rows, _, staged_bytes = self._stage_and_promote(
+            keep_rows, next_version, len(affected),
+            layout="none" if not big_b else "cluster",
         )
         new_buckets = dict(self.manifest["buckets"])
         new_rows = dict(self.manifest.get("bucket_rows", {}))
+        new_bytes = dict(self.manifest.get("bucket_bytes", {}))
         for b in affected:
             new_buckets.pop(str(b), None)
             new_rows.pop(str(b), None)
+            new_bytes.pop(str(b), None)
         for b, rels in staged.items():
             new_buckets[str(b)] = rels
             new_rows[str(b)] = staged_rows.get(b, 0)
+            new_bytes[str(b)] = staged_bytes.get(b, 0)
         self._commit(
-            new_buckets, new_rows, self.schema, None, None,
+            new_buckets, new_rows, new_bytes, self.schema, None, None,
             {"events": 0, "applied": 0, "deduped": 0, "deleted": 0}, {},
             self.manifest["last_offset"],
         )
         return {"compacted_buckets": len(affected), "version": self.version}
 
-    def expire_snapshots(self, keep: int = 2) -> int:
+    def expire_snapshots(self, keep: int = 2,
+                         orphan_grace_sec: float = 24 * 3600.0) -> int:
         """Vacuum: delete data files referenced only by snapshots older
         than the newest ``keep`` (Iceberg expire_snapshots analogue).
         All FS ops go through the TableIO seam; deletions run through a
         bounded thread pool — object-store deletes are ~10-100 ms RPCs
         each, and a serial driver loop over millions of expired files
         would dominate maintenance windows (Iceberg's expire action
-        parallelizes the same way)."""
+        parallelizes the same way).
+
+        **Orphan grace (in-flight-commit safety).** Files referenced by
+        an EXPIRED snapshot were durably published and are reclaimed
+        immediately. Files referenced by NO snapshot at all are
+        *candidates* for being a live writer's in-flight commit: a
+        writer promotes ``data/commit-vN-<nonce>`` BEFORE publishing
+        ``snapshots/vN.json``, so a vacuum running beside it (legal —
+        the stream's merge-retry path tolerates maintenance
+        concurrency) would otherwise delete files whose snapshot CAS
+        then succeeds, publishing a manifest of deleted files. Such
+        orphans are reaped only when the commit dir's mtime is older
+        than ``orphan_grace_sec`` (Iceberg's orphan-file age pattern);
+        unknown mtime protects. A loser/crashed attempt's dir becomes
+        eligible after the grace window. ``orphan_grace_sec=0`` keeps
+        the old eager behaviour for controlled single-writer
+        maintenance."""
         sdir = os.path.join(self.path, "snapshots")
         snaps = self.io.glob(sdir, "v*.json")
-        if len(snaps) <= keep:
+        if not snaps:
             return 0
+        # no early return when nothing expires: aged ORPHANS (loser /
+        # crashed commit attempts) must still be reapable by a later
+        # maintenance pass even if snapshot history is already short
+        kept = snaps[-keep:] if keep > 0 else snaps  # keep<=0: keep all
         live: set[str] = set()
-        for name in snaps[-keep:]:
+        published: set[str] = set()
+        for name in snaps:
             m = self.io.read_json(os.path.join(sdir, name))
-            for fl in m["buckets"].values():
-                live.update(fl)
+            refs = {f for fl in m["buckets"].values() for f in fl}
+            published.update(refs)
+            if name in kept:
+                live.update(refs)
+        now = time.time()
+
+        def _orphan_protected(cpath: str) -> bool:
+            if orphan_grace_sec <= 0:
+                return False
+            mt = self.io.mtime(cpath)
+            return mt is None or (now - mt) < orphan_grace_sec
+
         doomed: list[str] = []
         empty_dirs: list[str] = []
         ddir = os.path.join(self.path, "data")
         for commit_dir in self.io.glob(ddir, "commit-v*"):
             cpath = os.path.join(ddir, commit_dir)
             kept_any = False
+            protected = None  # lazy: one mtime stat per dir, orphans only
             for bdir in self.io.glob(cpath, f"{BUCKET_COL}=*"):
                 bpath = os.path.join(cpath, bdir)
                 for name in self.io.glob(bpath, "*.parquet"):
                     rel = f"data/{commit_dir}/{bdir}/{name}"
-                    if rel not in live:
-                        doomed.append(os.path.join(bpath, name))
-                    else:
+                    if rel in live:
                         kept_any = True
+                    elif rel in published:
+                        doomed.append(os.path.join(bpath, name))
+                    else:  # orphan: maybe an in-flight commit
+                        if protected is None:
+                            protected = _orphan_protected(cpath)
+                        if protected:
+                            kept_any = True
+                        else:
+                            doomed.append(os.path.join(bpath, name))
             if not kept_any:
                 empty_dirs.append(cpath)
         if doomed:
@@ -1440,11 +1662,15 @@ class LakeTable:
                 list(pool.map(self.io.remove, doomed))
         for cpath in empty_dirs:
             self.io.rmtree(cpath)
-        for name in snaps[:-keep]:
-            self.io.remove(os.path.join(sdir, name))
+        for name in snaps:
+            if name not in kept:
+                self.io.remove(os.path.join(sdir, name))
         # exclusive-write temps orphaned by a hard crash inside the
-        # publish window (v*.json.x.<uuid>) — reap them here so
-        # crash-prone long-lived tables don't accumulate them
+        # publish window (v*.json.x.<uuid>) — reap them once past the
+        # same grace (a LIVE writer's staged temp exists for
+        # milliseconds, but the window is real)
         for name in self.io.glob(sdir, "v*.json.x.*"):
-            self.io.remove(os.path.join(sdir, name))
+            tpath = os.path.join(sdir, name)
+            if not _orphan_protected(tpath):
+                self.io.remove(tpath)
         return len(doomed)

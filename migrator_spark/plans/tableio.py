@@ -88,6 +88,22 @@ class TableIO:
     def rmtree(self, path: str) -> None:
         raise NotImplementedError
 
+    def open_input_file(self, path: str):
+        """Random-access binary handle for a DATA file (parquet footer
+        stats). Default: the local filesystem — correct for
+        LocalTableIO and for MemTableIO (whose fake covers the
+        metadata plane only; Spark still writes data files to the real
+        FS). PyArrowTableIO routes through its ``pyarrow.fs`` so
+        object-store tables never require driver-local paths."""
+        return open(path, "rb")
+
+    def mtime(self, path: str) -> float | None:
+        """Last-modified time (epoch seconds) of a file or directory,
+        or None when unknown/missing. Used by the vacuum's orphan
+        grace window; None means "cannot prove it is old" and the
+        entry is protected."""
+        return None
+
     # convenience wrappers used by the table
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_text(path))
@@ -151,6 +167,12 @@ class LocalTableIO(TableIO):
 
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
+
+    def mtime(self, path: str) -> float | None:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
 
 
 class PyArrowTableIO(TableIO):
@@ -302,6 +324,68 @@ class PyArrowTableIO(TableIO):
         elif t == FileType.File:
             self.fs.delete_file(path)
 
+    def open_input_file(self, path: str):
+        return self.fs.open_input_file(path)
+
+    def mtime(self, path: str) -> float | None:
+        from pyarrow.fs import FileType
+
+        info = self._info(path)
+        if info.type == FileType.NotFound or info.mtime is None:
+            return None
+        return info.mtime.timestamp()
+
+
+def s3_conditional_put(client, bucket: str, key: str, body: bytes) -> None:
+    """Create-if-absent PUT through a boto3-style S3 client — the REAL
+    snapshot-publish CAS for object stores (``If-None-Match: *``,
+    S3 GA Nov 2024; the shim :meth:`PyArrowTableIO.write_text_exclusive`
+    documents the exists→PUT window this closes). Raises
+    :class:`FileExistsError` when the object already exists — i.e. a
+    competing writer won the version — mapping the service's 412
+    PreconditionFailed / 409 ConditionalRequestConflict responses.
+    Factored out of the TableIO class so tests can drive it with a
+    stub client (boto3 is absent in this sandbox)."""
+    try:
+        client.put_object(Bucket=bucket, Key=key, Body=body, IfNoneMatch="*")
+    except Exception as e:
+        code = str(
+            getattr(e, "response", {}).get("Error", {}).get("Code", "")
+        ) or str(getattr(e, "response", {}).get("ResponseMetadata", {}).get("HTTPStatusCode", ""))
+        if code in ("PreconditionFailed", "412", "ConditionalRequestConflict", "409"):
+            raise FileExistsError(f"s3://{bucket}/{key}") from e
+        raise
+
+
+class S3ConditionalTableIO(PyArrowTableIO):
+    """PyArrowTableIO in object-store mode with the snapshot-publish
+    CAS implemented as a REAL conditional PUT instead of the
+    check-then-put shim. Everything except ``write_text_exclusive``
+    rides pyarrow.fs; the one CAS-bearing method goes through a
+    boto3-style client so two live writers racing a snapshot version
+    get exactly one winner SERVER-SIDE (no exists→PUT window).
+    ``client`` defaults to ``boto3.client("s3")`` — boto3 ships in
+    standard Spark images but not this sandbox, so tests inject a
+    stub."""
+
+    def __init__(self, bucket: str, fs=None, client=None):
+        super().__init__(fs=fs, atomic_put=True)
+        if client is None:  # pragma: no cover — boto3 absent in sandbox
+            import boto3
+
+            client = boto3.client("s3")
+        self.client = client
+        self.bucket = bucket
+
+    def _key(self, path: str) -> str:
+        prefix = f"s3://{self.bucket}/"
+        if path.startswith(prefix):
+            return path[len(prefix):]
+        return path.lstrip("/")
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        s3_conditional_put(self.client, self.bucket, self._key(path), text.encode("utf-8"))
+
 
 class MemTableIO(TableIO):
     """Dict-backed fake for protocol tests: directories are implicit
@@ -309,6 +393,7 @@ class MemTableIO(TableIO):
 
     def __init__(self):
         self.files: dict[str, str] = {}
+        self.mtimes: dict[str, float] = {}
 
     @staticmethod
     def _norm(p: str) -> str:
@@ -318,13 +403,28 @@ class MemTableIO(TableIO):
         return self.files[self._norm(path)]
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        self.files[self._norm(path)] = text
+        import time as _time
+
+        p = self._norm(path)
+        self.files[p] = text
+        self.mtimes[p] = _time.time()
 
     def write_text_exclusive(self, path: str, text: str) -> None:
+        import time as _time
+
         p = self._norm(path)
         if p in self.files:
             raise FileExistsError(path)
         self.files[p] = text
+        self.mtimes[p] = _time.time()
+
+    def mtime(self, path: str) -> float | None:
+        p = self._norm(path)
+        if p in self.mtimes:
+            return self.mtimes[p]
+        # directory prefix: newest child write (fake of dir mtime)
+        kids = [t for k, t in self.mtimes.items() if k.startswith(p + "/")]
+        return max(kids) if kids else None
 
     def exists(self, path: str) -> bool:
         p = self._norm(path)
@@ -342,15 +442,20 @@ class MemTableIO(TableIO):
         s, d = self._norm(src), self._norm(dst)
         if s in self.files:
             self.files[d] = self.files.pop(s)
+            self.mtimes[d] = self.mtimes.pop(s, None) or 0.0
             return
         moved = [k for k in self.files if k.startswith(s + "/")]
         for k in moved:
             self.files[d + k[len(s):]] = self.files.pop(k)
+            if k in self.mtimes:
+                self.mtimes[d + k[len(s):]] = self.mtimes.pop(k)
 
     def remove(self, path: str) -> None:
         self.files.pop(self._norm(path), None)
+        self.mtimes.pop(self._norm(path), None)
 
     def rmtree(self, path: str) -> None:
         p = self._norm(path)
         for k in [k for k in self.files if k == p or k.startswith(p + "/")]:
             del self.files[k]
+            self.mtimes.pop(k, None)

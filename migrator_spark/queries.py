@@ -858,9 +858,14 @@ def _sql_ann_lsh_topk() -> str:
             f"({b}, [{','.join(repr(float(x)) for x in P[b])}]::DOUBLE[])"
             for b in range(ANN_NUM_BITS)
         )
+        # integer flip costs (see probe_buckets_scored): each term is
+        # round(|proj| * 1e6) cast to BIGINT on BOTH engines, so the
+        # ranked sum is exact integer arithmetic and a 1-ulp float
+        # divergence between list_dot_product and the Python fold can
+        # no longer flip the probe set at a cost tie
         cost_chain = " + ".join(
             f"(CASE WHEN (xor(allb.bucket, qb{l}.qbucket) >> {b}) & 1 = 1 "
-            f"THEN qp{l}.a{b} ELSE 0.0 END)"
+            f"THEN qp{l}.a{b} ELSE 0 END)"
             for b in range(ANN_NUM_BITS)
         )
         ctes += [
@@ -874,7 +879,7 @@ def _sql_ann_lsh_topk() -> str:
             f"qb{l} AS (SELECT bucket AS qbucket FROM bk{l} WHERE vec_id = 0)",
             f"""qp{l} AS (
   SELECT {', '.join(
-      f"max(CASE WHEN p.b = {b} THEN abs(list_dot_product(q.qv, p.pl)) END) AS a{b}"
+      f"max(CASE WHEN p.b = {b} THEN CAST(round(abs(list_dot_product(q.qv, p.pl)) * 1000000, 0) AS BIGINT) END) AS a{b}"
       for b in range(ANN_NUM_BITS)
   )}
   FROM planes{l} p, q
@@ -1189,6 +1194,102 @@ WHERE coalesce(dmax, -1) <> omax
 """
 
 
+def q_cdc_patch_set_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END engine run of patch mode WITH the explicit-null
+    presence mask (``_set_cols``): the reference's Mongo update $set's
+    whatever the map contains, INCLUDING explicit nulls
+    (mongo.go:334-343); a parquet envelope cannot distinguish absent
+    from explicit-null, so the producer lists explicitly-set columns.
+    Here ``value`` is EXPLICITLY nulled when offset%5==0 (masked),
+    merely absent when offset%3==0, and ``props`` absent when
+    offset%4==0 — so the final state shows stored values genuinely
+    ERASED by the masked nulls, which plain sparse patch can never
+    express. Merged in 4 micro-batches through the real engine; the
+    oracle folds identically in SQL (the list-wrap around arg_max
+    keeps an explicit NULL distinguishable from "no set")."""
+    from migrator_spark.plans.laketable import LakeTable
+
+    ev = envelope(spark, sf_dir).withColumnRenamed("ev_offset", "offset").drop("ts")
+    sparse = ev.select(
+        "offset",
+        "op",
+        "key",
+        F.when(F.col("offset") % 5 == 0, F.lit(None).cast("double"))
+        .when(F.col("offset") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("offset") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props")).alias("props"),
+        F.when(F.col("offset") % 5 == 0, F.array(F.lit("value")))
+        .otherwise(F.lit(None).cast("array<string>")).alias("_set_cols"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-patch-null-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
+    n = sparse.agg(F.max("offset")).collect()[0][0] + 1
+    step = max(1, n // 4)
+    b = 0
+    lo = 0
+    while lo < n:
+        chunk = sparse.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
+        table = table.refresh()
+        table.merge(chunk, stream_id="qpn", batch_id=b, update_mode="patch")
+        lo += step
+        b += 1
+    out = table.refresh().read().select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes away (see
+    # q_cdc_apply_full)
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_PATCH_SET_NULL = EV_CTE + """
+, sp AS (
+  SELECT ev_offset, op, key,
+         CASE WHEN ev_offset % 5 = 0 THEN NULL
+              WHEN ev_offset % 3 = 0 THEN NULL
+              ELSE value END AS value,
+         (ev_offset % 5 = 0) AS v_explicit,
+         CASE WHEN ev_offset % 4 = 0 THEN NULL ELSE props END AS props
+  FROM ev
+), f AS (
+  SELECT key,
+         max(ev_offset) AS omax,
+         max(CASE WHEN op = 'delete' THEN ev_offset END) AS dmax,
+         -- list-wrap: [value] is never NULL, so arg_max can carry an
+         -- EXPLICIT null through (a bare arg_max(value, ...) would
+         -- skip it and resurrect the previous value)
+         arg_max([value], ev_offset)
+           FILTER (WHERE op <> 'delete' AND (value IS NOT NULL OR v_explicit)) AS lv_value,
+         max(ev_offset)
+           FILTER (WHERE op <> 'delete' AND (value IS NOT NULL OR v_explicit)) AS o_value,
+         arg_max(props, ev_offset)
+           FILTER (WHERE op <> 'delete' AND props IS NOT NULL) AS v_props,
+         max(ev_offset)
+           FILTER (WHERE op <> 'delete' AND props IS NOT NULL) AS o_props
+  FROM sp GROUP BY key
+)
+SELECT key,
+       omax AS last_offset,
+       CASE WHEN o_value > coalesce(dmax, -1) THEN lv_value[1] END AS last_value,
+       CASE WHEN o_props > coalesce(dmax, -1) THEN v_props END AS last_props
+FROM f
+WHERE coalesce(dmax, -1) <> omax
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1196,6 +1297,7 @@ WHERE coalesce(dmax, -1) <> omax
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_patch_final_state": q_cdc_patch_final_state,
+    "cdc_patch_set_null": q_cdc_patch_set_null,
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lineage_totals": q_cdc_lineage_totals,
     "cdc_batch_dedup": q_cdc_batch_dedup,
@@ -1233,6 +1335,7 @@ QUERIES = {
 ORACLES = {
     "cdc_apply_full": SQL_CDC_APPLY_FULL,
     "cdc_patch_final_state": SQL_CDC_PATCH_FINAL_STATE,
+    "cdc_patch_set_null": SQL_CDC_PATCH_SET_NULL,
     "cdc_lww_final_state": SQL_CDC_LWW_FINAL_STATE,
     "cdc_lineage_totals": SQL_CDC_LINEAGE_TOTALS,
     "cdc_batch_dedup": SQL_CDC_BATCH_DEDUP,

@@ -137,12 +137,15 @@ def import_into_table(
     it ``done`` after the last (staging is deleted then). A re-run of a
     KILLED import resumes bit-identically BY CONSTRUCTION: it re-reads
     the same staged files, and committed chunks are skipped by the
-    exactly-once (stream, batch) guard — the stream id embeds both the
-    start offset AND the chunk step (``import-<name>@<start>+<step>``),
-    so a resume attempt under a different ``batch_size`` keeps the
-    recorded step and a caller forcing a different ``id_start_offset``
-    gets a distinct stream id and a full (LWW-idempotent) reapply
-    instead of silently skipping re-chunked batches. Resume requires
+    exactly-once (stream, batch) guard — the stream id embeds the
+    start offset, the chunk step AND the staging nonce
+    (``import-<name>@<start>+<step>#<nonce>``): a resume keeps the
+    recorded nonce (same stream, committed chunks skip), while every
+    fresh import — different ``batch_size``, forced
+    ``id_start_offset``, or a re-import of CHANGED bytes that happens
+    to reuse a completed import's exact start+step — mints a new nonce
+    and gets a full (LWW-idempotent) reapply instead of being silently
+    swallowed by the old stream's committed records. Resume requires
     the recorded source fingerprint (path listing + sizes + mtimes) to
     match — a different file under the same basename forces a fresh,
     complete import. A re-import after completion also starts fresh,
@@ -249,7 +252,14 @@ def import_into_table(
         )
         if raw_dir is not None:
             table.io.rmtree(raw_dir)
-    stream_id = f"import-{name}@{start}+{step}"
+    # The staging NONCE rides in the stream id: a resumed import reuses
+    # the recorded nonce (same staged bytes → same stream → committed
+    # chunks skip), while ANY fresh import — including a forced
+    # id_start_offset that collides with a COMPLETED import's recorded
+    # start+step — mints a new nonce and therefore a distinct stream
+    # identity, so its batches are never silently swallowed by the
+    # old stream's committed (stream, batch) records.
+    stream_id = f"import-{name}@{start}+{step}#{nonce}"
     n_chunks = max(1, -(-total // step))
     results = []
     for b in range(n_chunks):
@@ -283,17 +293,20 @@ def import_into_table(
 
 
 def export_table(
-    spark: SparkSession, table_path: str, dest_path: str, fmt: str = "csv"
+    spark: SparkSession, table_path: str, dest_path: str, fmt: str = "csv",
+    resolve: str | None = None,
 ) -> int:
     """Reference ``Export``: paged Fetch loop → file. Spark-first the
     'paging' is just the parallel write. The returned row count rides
     the write action as an ``observe()`` metric — ONE LWW resolve, not
-    a write plus a full re-resolving count job."""
+    a write plus a full re-resolving count job. ``resolve`` passes
+    through to :meth:`LakeTable.read` (None = budget-guarded
+    bucket-local default; "shuffle" = the CLI escape hatch)."""
     from pyspark.sql import Observation
 
     _, write = FORMATS[fmt]
     obs = Observation()
-    df = LakeTable.load(spark, table_path).read().observe(
+    df = LakeTable.load(spark, table_path).read(resolve=resolve).observe(
         obs, F.count(F.lit(1)).alias("n")
     )
     write(df, dest_path)

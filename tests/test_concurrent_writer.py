@@ -93,8 +93,14 @@ def test_loser_leaves_no_referenced_files_and_vacuum_cleans(spark, tmp_path):
     }
     orphans = {d for d in dirs_before if d not in live}
     assert orphans, "loser should have left an orphan commit dir"
+    # under the default grace window a FRESH orphan is protected — it
+    # could be a live writer's promoted-but-unpublished commit (advice
+    # round 4: a vacuum racing that window caused silent data loss)
     t = LakeTable.load(spark, path)
     t.expire_snapshots(keep=1)
+    assert orphans <= set(os.listdir(ddir))  # grace-held
+    # eager vacuum (single-writer maintenance) reaps it
+    LakeTable.load(spark, path).expire_snapshots(keep=1, orphan_grace_sec=0)
     dirs_after = set(os.listdir(ddir))
     assert not (orphans & dirs_after)  # vacuumed
     rows = {r["path"] for r in LakeTable.load(spark, path).read().collect()}

@@ -76,8 +76,9 @@ def test_explicit_start_rechunk_does_not_lose_rows(spark, tmp_path):
     res = import_into_table(
         spark, tdir, src, fmt="csv", batch_size=150, id_start_offset=0
     )
-    # same explicit start -> resume with the recorded step, not 150
-    assert res["stream_id"] == "import-in.csv@0+100"
+    # same explicit start -> resume with the recorded step, not 150,
+    # AND the recorded staging nonce (same stream identity)
+    assert res["stream_id"].startswith("import-in.csv@0+100#")
     assert res["batches"] == 3
     t = LakeTable.load(spark, tdir)
     assert t.count() == 300  # nothing dropped
@@ -101,9 +102,41 @@ def test_explicit_start_rechunk_does_not_lose_rows(spark, tmp_path):
     res2 = import_into_table(
         spark, tdir, src, fmt="csv", batch_size=150, id_start_offset=2000
     )
-    assert res2["stream_id"] == "import-in.csv@2000+150"
+    assert res2["stream_id"].startswith("import-in.csv@2000+150#")
     assert not res2["skipped"]
     assert res2["totals"]["applied"] == 300
+
+
+def test_forced_restart_of_completed_import_reapplies(spark, tmp_path):
+    """A COMPLETED import followed by a forced re-import with the SAME
+    start and step used to reuse the identical stream id, so the old
+    committed (stream, batch) records swallowed every new batch — the
+    import reported skipped and changed source bytes never landed. The
+    staging nonce in the stream id gives every fresh import a distinct
+    stream identity (advice round 4)."""
+    src = str(tmp_path / "in.csv")
+    _write_src(spark, src, n=100)
+    tdir = str(tmp_path / "table")
+    LakeTable.create(spark, tdir, PAYLOAD, ["repo", "path"], num_buckets=4)
+    res1 = import_into_table(
+        spark, tdir, src, fmt="csv", batch_size=50, id_start_offset=0
+    )
+    assert not res1["skipped"] and res1["totals"]["applied"] == 100
+
+    # source content CHANGES under the same path/name
+    import shutil as _sh
+    import time as _time
+
+    _sh.rmtree(src)
+    _time.sleep(0.01)  # distinct mtime_ns for the fingerprint
+    _write_src(spark, src, n=100)
+    # forced same start + same step as the completed import
+    res2 = import_into_table(
+        spark, tdir, src, fmt="csv", batch_size=50, id_start_offset=0
+    )
+    assert res2["stream_id"] != res1["stream_id"]  # distinct identity
+    assert not res2["skipped"]  # batches actually applied
+    assert res2["totals"]["events"] == 100
 
 
 def test_staging_cleaned_after_done_and_no_persist(spark, tmp_path):

@@ -166,6 +166,10 @@ def test_expire_reaps_orphaned_exclusive_temps(spark, tmp_path):
     orphan = os.path.join(sdir, "v00000002.json.x.deadbeef")
     with open(orphan, "w") as f:
         f.write("{}")
+    # a FRESH temp is grace-protected (could be a racing writer's
+    # staged exclusive-write, alive for milliseconds but real)
     t.refresh().expire_snapshots(keep=1)
+    assert os.path.exists(orphan)
+    t.refresh().expire_snapshots(keep=1, orphan_grace_sec=0)
     assert not os.path.exists(orphan)
     assert LakeTable.load(spark, path).count() == 3

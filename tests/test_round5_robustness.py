@@ -1,0 +1,215 @@
+"""Round-5 robustness: real conditional-PUT CAS for object stores,
+footer stats through the TableIO seam, and the vacuum's in-flight
+commit protection under a live writer race."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import ConcurrentWriteError, LakeTable
+from migrator_spark.plans.tableio import (
+    LocalTableIO,
+    PyArrowTableIO,
+    S3ConditionalTableIO,
+    s3_conditional_put,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+# --------------------------------------------------------------------------
+# conditional PUT CAS
+# --------------------------------------------------------------------------
+
+
+class _StubClientError(Exception):
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class _RecordingClient:
+    """Captures put_object kwargs; optionally raises a canned error."""
+
+    def __init__(self, error_code=None):
+        self.calls = []
+        self.error_code = error_code
+
+    def put_object(self, **kw):
+        self.calls.append(kw)
+        if self.error_code:
+            raise _StubClientError(self.error_code)
+
+
+class _DictS3Client:
+    """Dict-backed stub implementing the CONDITIONAL semantics the
+    real service provides: If-None-Match: * fails with 412 when the
+    key exists."""
+
+    def __init__(self, store=None):
+        self.store = store if store is not None else {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        assert IfNoneMatch == "*", "CAS writes must be conditional"
+        if Key in self.store:
+            raise _StubClientError("PreconditionFailed")
+        self.store[Key] = Body
+
+
+def test_conditional_put_sends_if_none_match_header():
+    c = _RecordingClient()
+    s3_conditional_put(c, "bkt", "snapshots/v1.json", b"{}")
+    assert c.calls == [
+        {"Bucket": "bkt", "Key": "snapshots/v1.json", "Body": b"{}", "IfNoneMatch": "*"}
+    ]
+
+
+@pytest.mark.parametrize("code", ["PreconditionFailed", "412", "ConditionalRequestConflict", "409"])
+def test_conditional_put_maps_conflict_to_file_exists(code):
+    c = _RecordingClient(error_code=code)
+    with pytest.raises(FileExistsError):
+        s3_conditional_put(c, "bkt", "k", b"x")
+
+
+def test_conditional_put_propagates_other_errors():
+    c = _RecordingClient(error_code="AccessDenied")
+    with pytest.raises(_StubClientError):
+        s3_conditional_put(c, "bkt", "k", b"x")
+
+
+def test_s3_tableio_key_mapping_and_cas():
+    io = S3ConditionalTableIO("bkt", client=_DictS3Client())
+    io.write_text_exclusive("s3://bkt/tbl/snapshots/v1.json", "{}")
+    assert io.client.store["tbl/snapshots/v1.json"] == b"{}"
+    with pytest.raises(FileExistsError):
+        io.write_text_exclusive("s3://bkt/tbl/snapshots/v1.json", "{}")
+    # bare absolute paths map by stripping the leading slash
+    io.write_text_exclusive("/tbl/snapshots/v2.json", "{}")
+    assert "tbl/snapshots/v2.json" in io.client.store
+
+
+class _LocalWithConditionalCAS(LocalTableIO):
+    """LocalTableIO (real data files on disk, as Spark writes them)
+    whose snapshot-publish CAS rides the conditional-PUT stub — the
+    object-store commit protocol with the REAL server-side CAS shape,
+    end to end against the engine."""
+
+    def __init__(self, client):
+        self.client = client
+
+    def write_text_exclusive(self, path, text):
+        s3_conditional_put(self.client, "bkt", path.lstrip("/"), text.encode())
+        # the service accepted the create: make the doc readable
+        super().write_text_atomic(path, text)
+
+
+def test_two_writers_conditional_put_cas(spark, tmp_path):
+    """The round-4 two-racer scenario re-run with the snapshot CAS
+    going through the conditional-PUT path: exactly one winner, the
+    loser raises ConcurrentWriteError, nothing lost."""
+    shared = {}
+    io_a = _LocalWithConditionalCAS(_DictS3Client(shared))
+    io_b = _LocalWithConditionalCAS(_DictS3Client(shared))
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4, io=io_a)
+    t.merge(_env(spark, [(0, "insert", "r", "base", "v0")]), stream_id="a", batch_id=0)
+    a = LakeTable.load(spark, path, io=io_a)
+    b = LakeTable.load(spark, path, io=io_b)
+    a.merge(_env(spark, [(1, "insert", "r", "pa", "A")]), stream_id="a", batch_id=1)
+    with pytest.raises(ConcurrentWriteError):
+        b.merge(_env(spark, [(2, "insert", "r", "pb", "B")]), stream_id="b", batch_id=0)
+    # loser retries after reload (the streaming retry path) and lands
+    b2 = LakeTable.load(spark, path, io=io_b)
+    b2.merge(_env(spark, [(2, "insert", "r", "pb", "B")]), stream_id="b", batch_id=0)
+    rows = {
+        r["path"]: r["content"]
+        for r in LakeTable.load(spark, path, io=io_a).read().collect()
+    }
+    assert rows == {"base": "v0", "pa": "A", "pb": "B"}
+
+
+# --------------------------------------------------------------------------
+# footer stats through the TableIO seam
+# --------------------------------------------------------------------------
+
+
+class _SpyPyArrowIO(PyArrowTableIO):
+    def __init__(self):
+        super().__init__()
+        self.opened = []
+
+    def open_input_file(self, path):
+        self.opened.append(path)
+        return super().open_input_file(path)
+
+
+def test_staged_footer_stats_flow_through_the_io_seam(spark, tmp_path):
+    """merge()'s driver-side footer reads (rows/deletes/bytes per
+    staged file) must go through TableIO.open_input_file — an
+    object-store table's stats cannot silently require driver-local
+    paths (round-4 verdict #5)."""
+    io = _SpyPyArrowIO()
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=4, io=io)
+    t.merge(
+        _env(spark, [(i, "insert", "r", f"p{i}", "x") for i in range(20)]),
+        stream_id="s", batch_id=0,
+    )
+    parquet_opens = [p for p in io.opened if p.endswith(".parquet")]
+    assert parquet_opens, "footer stats bypassed the TableIO seam"
+    assert all(p.startswith(path) for p in parquet_opens)
+    # and the stats landed: rows + bytes recorded in the manifest
+    t = t.refresh()
+    assert sum(t.manifest["bucket_rows"].values()) == 20
+    assert all(int(v) > 0 for v in t.manifest["bucket_bytes"].values())
+
+
+# --------------------------------------------------------------------------
+# vacuum vs in-flight commit (the round-4 ADVICE medium)
+# --------------------------------------------------------------------------
+
+
+def test_vacuum_never_reaps_a_live_writers_promoted_commit(spark, tmp_path):
+    """A writer promotes data/commit-vN-<nonce> BEFORE publishing the
+    snapshot. A vacuum running in that window sees the dir referenced
+    by no snapshot — it must NOT delete it (grace window), or the
+    writer's subsequent snapshot CAS would publish a manifest of
+    deleted files."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD, ["repo", "path"], num_buckets=2)
+    for b in range(3):
+        t = t.refresh()
+        t.merge(_env(spark, [(b, "insert", "r", f"p{b}", "x")]),
+                stream_id="s", batch_id=b, compact_threshold=None)
+
+    # simulate the in-flight window: promoted commit dir, snapshot not
+    # yet published (exactly what _stage_and_promote leaves on disk
+    # before _write_snapshot runs)
+    inflight = os.path.join(path, "data", f"commit-v{t.version + 1:08d}-aaaa1111")
+    os.makedirs(os.path.join(inflight, "_bucket=0"))
+    pq_file = os.path.join(inflight, "_bucket=0", "part-0.parquet")
+    with open(pq_file, "wb") as f:
+        f.write(b"PAR1fake")
+
+    t.refresh().expire_snapshots(keep=1)  # default grace
+    assert os.path.exists(pq_file), "vacuum reaped an in-flight commit"
+
+    # once the dir AGES past the grace it is reclaimable garbage
+    old = time.time() - 10 * 24 * 3600
+    os.utime(inflight, (old, old))
+    t.refresh().expire_snapshots(keep=1)
+    assert not os.path.exists(pq_file)
