@@ -466,21 +466,28 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
     total += cdc["wall_sec"]
     # Same-epoch resolver A/B (round-4 verdict #2): the IDENTICAL CDC
     # job with the bucket-local resolver forced to the shuffle
-    # formulation for its read-backs + amortized compactions. Recorded
-    # beside the default so a headline delta between rounds can be
-    # attributed: if both move together it's host drift (see
-    # control_fixed_sec); if the default alone moves, the resolver
-    # choice is implicated and becomes size-conditional.
+    # formulation for its read-backs + amortized compactions, THEN the
+    # default again. The first in-session full-size apply pays a ~3-4s
+    # warm-in beyond the warmup merge (measured: runs 0..3 in one
+    # session = 10.8, 8.2, 7.0, 6.8 s with resolver alternating — the
+    # delta is position, not resolver), so the fair comparison is the
+    # ADJACENT warm pair: cdc_shuffle_resolve vs cdc_local_rerun. The
+    # headline `cdc` stays the first leg for round-over-round
+    # comparability.
     os.environ["SPARK_GRAFT_RESOLVE"] = "shuffle"
     try:
-        # warmup=True keeps the two legs' shape identical (the
-        # winner-estimate path is seeded the same way in both)
+        # warmup=True keeps the legs' shape identical (the
+        # winner-estimate path is seeded the same way in all)
         cdc_shuf = run_cdc_apply(
             spark, log_dir, os.path.join(BENCH_ROOT, "table-full-shuf"),
             batches=batches, est_keys=num_keys,
         )
     finally:
         os.environ.pop("SPARK_GRAFT_RESOLVE", None)
+    cdc_local2 = run_cdc_apply(
+        spark, log_dir, os.path.join(BENCH_ROOT, "table-full-loc2"),
+        batches=batches, est_keys=num_keys,
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline suite wall time (CDC apply + operator queries)",
@@ -491,6 +498,9 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         "cdc": cdc,
         "cdc_shuffle_resolve": {
             k: cdc_shuf[k] for k in ("wall_sec", "events_per_sec", "write_sec")
+        },
+        "cdc_local_rerun": {
+            k: cdc_local2[k] for k in ("wall_sec", "events_per_sec", "write_sec")
         },
         "control_fixed_sec": control_fixed,
         "cores": CPUS,

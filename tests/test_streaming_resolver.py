@@ -1,0 +1,98 @@
+"""Round-5 two-pass streaming bucket resolver: the bucket-local read
+no longer materializes the decoded bucket (pass 1 = slim key+offset
+winner argmax, pass 2 = per-row-group streamed emit). These tests pin
+the behaviours unique to the new formulation; equality across table
+shapes is already pinned by tests/test_bucket_local_read.py and
+test_bucket_resolve_guard.py."""
+
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, repo string, path string, content string"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_offset_collision_across_streams_resolved_by_key(spark, tmp_path):
+    """Two independent streams (e.g. a forced-offset import beside a
+    tail) can reuse the SAME offset for DIFFERENT keys. The streaming
+    resolver prefilters by offset, so it must verify keys before
+    emitting — an unverified offset match would attach one key's row
+    to another key's winner entry."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=1)
+    # stream 1: offsets 0..9 on keys a0..a9
+    t.merge(
+        _env(spark, [(i, "insert", "rA", f"a{i}", f"va{i}") for i in range(10)]),
+        stream_id="s1", batch_id=0, compact_threshold=None,
+    )
+    t = t.refresh()
+    # stream 2 (forced-start import shape): the SAME offsets 0..9 on
+    # DIFFERENT keys b0..b9 — all in the one bucket (num_buckets=1)
+    t.merge(
+        _env(spark, [(i, "insert", "rB", f"b{i}", f"vb{i}") for i in range(10)]),
+        stream_id="s2", batch_id=0, compact_threshold=None,
+    )
+    t = t.refresh()
+    # and stream 1 advances one key past the collision range
+    t.merge(
+        _env(spark, [(20, "update", "rA", "a3", "va3-new")]),
+        stream_id="s1", batch_id=1, compact_threshold=None,
+    )
+    t = t.refresh()
+    local = _rows(t.read())
+    assert local == _rows(t.read(resolve="shuffle"))
+    # _rows sorts columns: (_last_offset, content, path, repo)
+    got = {(r[3], r[2]): r[1] for r in local}  # (repo, path) -> content
+    assert got[("rA", "a3")] == "va3-new"
+    assert got[("rB", "b3")] == "vb3"
+    assert len(local) == 20
+
+
+def test_many_row_groups_stream_correctly(spark, tmp_path):
+    """A bucket whose files span many parquet row groups (the emit
+    pass iterates per row-group) resolves identically to shuffle."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=2)
+    n = 5000
+    t.merge(
+        _env(spark, [(i, "insert", f"r{i % 3}", f"p{i % 1200}", f"v{i}") for i in range(n)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    t = t.refresh()
+    t.merge(
+        _env(spark, [(n + i, "update", f"r{i % 3}", f"p{i % 1200}", f"w{i}") for i in range(800)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    t = t.refresh()
+    assert _rows(t.read()) == _rows(t.read(resolve="shuffle"))
+    assert t.read().count() == 1200
+
+
+def test_replayed_duplicate_rows_emit_once(spark, tmp_path):
+    """A replayed batch re-appends byte-identical (key, offset) rows
+    in a NEW file; the emit pass must yield each winner exactly once
+    (first occurrence), like the old sort+keep-last."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=1)
+    rows = [(i, "insert", "r", f"p{i}", f"v{i}") for i in range(25)]
+    t.merge(_env(spark, rows), stream_id="s", batch_id=0, compact_threshold=None)
+    t = t.refresh()
+    # replay the SAME events under a different stream id — appends
+    # identical (key, offset) rows as a second delta file
+    t.merge(_env(spark, rows), stream_id="replay", batch_id=0, compact_threshold=None)
+    t = t.refresh()
+    assert t.read().count() == 25
+    assert _rows(t.read()) == _rows(t.read(resolve="shuffle"))
