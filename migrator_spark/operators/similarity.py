@@ -611,15 +611,86 @@ def probe_buckets_scored(
         int(round(abs(_fold_dot(query_vec, planes[b])) * 1e6))
         for b in range(num_bits)
     ]
+    if num_bits <= 12:
+        # small codes (the 6-bit default and everything the DuckDB
+        # oracle replicates): rank ALL buckets — trivial, and the
+        # explicit full ordering is what the oracle's ORDER BY mirrors
 
-    def cost(bk: int) -> int:
-        c = 0
-        for b in range(num_bits):
-            c += ap[b] if (bk ^ qb) >> b & 1 else 0
-        return c
+        def cost(bk: int) -> int:
+            c = 0
+            for b in range(num_bits):
+                c += ap[b] if (bk ^ qb) >> b & 1 else 0
+            return c
 
-    ranked = sorted(range(1 << num_bits), key=lambda bk: (cost(bk), bk))
-    return ranked[:num_probes]
+        ranked = sorted(range(1 << num_bits), key=lambda bk: (cost(bk), bk))
+        return ranked[:num_probes]
+    return _probe_topk_bounded(ap, qb, num_bits, num_probes)
+
+
+def _probe_topk_bounded(ap: list[int], qb: int, num_bits: int,
+                        num_probes: int) -> list[int]:
+    """Best-first perturbation-set enumeration (Lv et al. VLDB'07
+    §4.3) for LARGE codes, where ranking all 2^bits buckets on the
+    driver would be quadratic-ish (the round-4 review note): bits are
+    sorted by flip cost ascending and perturbation sets expand via the
+    classic extend/shift successors, so sets pop off the heap in
+    non-decreasing cost order after O(T·log T·bits) work for T probes.
+
+    Tie handling keeps the full-ranking contract (cost, then bucket
+    id): after the T-th pop the frontier keeps draining while its
+    minimum cost equals the T-th cost (children can tie their parent
+    when a quantized flip cost is 0), everything collected is sorted
+    by (cost, id) and cut to T. The drain is capped at 8·T extra pops
+    — enumeration order is deterministic, so even a pathological tie
+    plateau (all projections equal) yields a deterministic, documented
+    cut rather than unbounded work."""
+    import heapq
+
+    order = sorted(range(num_bits), key=lambda b: (ap[b], b))
+    costs = [ap[b] for b in order]
+
+    def to_bucket(mask_positions: tuple) -> int:
+        bk = qb
+        for p in mask_positions:
+            bk ^= 1 << order[p]
+        return bk
+
+    # heap entries: (cost, bucket_id, positions); positions is a tuple
+    # of indices into the sorted-bit order, strictly increasing
+    start = (0, qb, ())
+    heap = [start]
+    popped: list[tuple[int, int]] = []
+    cap = None
+    extra = 0
+    while heap:
+        c, bk, pos = heapq.heappop(heap)
+        popped.append((c, bk))
+        # successors FIRST — extend (append next position) and shift
+        # (bump the last position); every subset is generated exactly
+        # once, and a child can TIE its parent's cost (zero-cost bit),
+        # so it must be in the heap before the drain check below
+        last = pos[-1] if pos else -1
+        if last + 1 < num_bits:
+            ext = pos + (last + 1,)
+            heapq.heappush(
+                heap, (c + costs[last + 1], to_bucket(ext), ext)
+            )
+            if pos:
+                shf = pos[:-1] + (last + 1,)
+                heapq.heappush(
+                    heap,
+                    (c - costs[last] + costs[last + 1], to_bucket(shf), shf),
+                )
+        if cap is None and len(popped) == num_probes:
+            cap = c
+        if cap is not None:
+            if not heap or heap[0][0] > cap:
+                break
+            extra += 1
+            if extra > 8 * num_probes:
+                break
+    popped.sort()
+    return [bk for _, bk in popped[:num_probes]]
 
 
 def build_ann_index_multi(

@@ -247,3 +247,57 @@ def test_hash_strings_vectorized_bit_identical():
         for _ in range(500)
     ]
     assert np.array_equal(scalar(fuzz), _hash_strings(fuzz))
+
+
+def test_bounded_probe_enumeration_matches_full_ranking():
+    """Large-code probe selection (best-first perturbation sets) must
+    produce EXACTLY the full-ranking top-T — same costs, same
+    (cost, bucket-id) tie order — for codes small enough to brute
+    force. Exercises random costs, zero-cost ties, and varying T."""
+    import random
+
+    from migrator_spark.operators.similarity import _probe_topk_bounded
+
+    rng = random.Random(99)
+    for trial in range(40):
+        bits = rng.choice([4, 6, 8, 10, 13])
+        qb = rng.randrange(1 << bits)
+        style = trial % 4
+        if style == 0:
+            ap = [rng.randrange(0, 1_000_000) for _ in range(bits)]
+        elif style == 1:  # heavy zero-cost ties
+            ap = [rng.choice([0, 0, 5, 100]) for _ in range(bits)]
+        elif style == 2:  # all equal (pathological plateau)
+            ap = [7] * bits
+        else:
+            ap = [rng.randrange(0, 4) for _ in range(bits)]
+        T = rng.choice([1, 4, 8, 16])
+
+        def cost(bk):
+            return sum(ap[b] for b in range(bits) if (bk ^ qb) >> b & 1)
+
+        full = sorted(range(1 << bits), key=lambda bk: (cost(bk), bk))[:T]
+        got = _probe_topk_bounded(ap, qb, bits, T)
+        cap_cost = cost(full[-1])
+        plateau = sum(1 for bk in range(1 << bits) if cost(bk) == cap_cost)
+        if plateau <= 8 * T:
+            # plateau fits inside the drain cap: bit-exact contract
+            assert got == full, (bits, qb, ap, T)
+        else:
+            # documented cap cut on a huge tie plateau (e.g. many
+            # zero-cost bits): COSTS must match the full ranking and
+            # the choice must be deterministic; the tie SET may differ
+            assert [cost(b) for b in got] == [cost(b) for b in full]
+            assert got == _probe_topk_bounded(ap, qb, bits, T)
+
+
+def test_probe_buckets_scored_large_code_path():
+    """The >12-bit path is reachable through the public API and
+    returns the requested number of distinct, in-range buckets."""
+    from migrator_spark.operators.similarity import probe_buckets_scored
+
+    qv = [((i * 37) % 19 - 9) / 7.0 for i in range(64)]
+    probes = probe_buckets_scored(qv, num_bits=16, plane_prefix="big", num_probes=12)
+    assert len(probes) == 12
+    assert len(set(probes)) == 12
+    assert all(0 <= p < (1 << 16) for p in probes)
