@@ -96,3 +96,51 @@ def test_replayed_duplicate_rows_emit_once(spark, tmp_path):
     t = t.refresh()
     assert t.read().count() == 25
     assert _rows(t.read()) == _rows(t.read(resolve="shuffle"))
+
+
+def test_sub_bucket_split_parallelism_and_equality(spark, tmp_path, monkeypatch):
+    """With a tiny split target every multi-file bucket fans out into
+    one subtask per file; emission stays exactly-once (each winner's
+    first-containing file owns it) and results equal the shuffle
+    resolver — including replayed duplicate rows that land in files
+    owned by DIFFERENT subtasks."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=4)
+    rows = [(i, "insert", f"r{i % 3}", f"p{i % 60}", f"v{i}") for i in range(200)]
+    t.merge(_env(spark, rows), stream_id="s", batch_id=0, compact_threshold=None)
+    t = t.refresh()
+    t.merge(
+        _env(spark, [(200 + i, "update", f"r{i % 3}", f"p{i % 60}", f"w{i}") for i in range(80)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    t = t.refresh()
+    # replay batch 0 under another stream: byte-identical (key, offset)
+    # rows now exist in files that different subtasks will own
+    t.merge(_env(spark, rows), stream_id="replay", batch_id=0, compact_threshold=None)
+    t = t.refresh()
+    want = _rows(t.read(resolve="shuffle"))
+    monkeypatch.setenv("SPARK_GRAFT_RESOLVE_SPLIT_BYTES", "1")
+    got_df = t.read()
+    n_parts = t._bucket_local_resolved().rdd.getNumPartitions()
+    n_files = sum(len(fl) for fl in t.manifest["buckets"].values())
+    assert n_parts == n_files > 4  # one subtask per file, above bucket count
+    assert _rows(got_df) == want
+    assert got_df.count() == 60
+
+
+def test_sub_bucket_split_compaction_equal(spark, tmp_path, monkeypatch):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=2)
+    for b in range(4):
+        t = t.refresh()
+        t.merge(
+            _env(spark, [(b * 100 + i, "insert" if b == 0 else "update",
+                          "r", f"p{i % 40}", f"v{b}-{i}") for i in range(60)]),
+            stream_id="s", batch_id=b, compact_threshold=None,
+        )
+    t = t.refresh()
+    want = _rows(t.read(resolve="shuffle"))
+    monkeypatch.setenv("SPARK_GRAFT_RESOLVE_SPLIT_BYTES", "1")
+    res = t.compact()
+    assert res["compacted_buckets"] == 2
+    t2 = t.refresh()
+    assert _rows(t2.read(resolve="shuffle")) == want
+    assert _rows(t2.read()) == want
