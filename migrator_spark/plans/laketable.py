@@ -177,7 +177,7 @@ def _staged_file_stats(path: str, read_counters: bool, io: "TableIO") -> tuple[i
 
 
 def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
-                          bucket_field_name: str | None):
+                          bucket_field_name: str | None, filesystem=None):
     """Task function for bucket-local LWW resolution (``mapInArrow``).
 
     Each input row is ``(bucket, files, sub, nsub)``; the task resolves
@@ -212,6 +212,12 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
     the new columns — each emitted batch is null-padded/cast to the
     unified arrow schema. Only key columns and int64 offsets are
     materialized into pandas/numpy; payload stays in Arrow buffers.
+
+    ``filesystem`` (a picklable ``pyarrow.fs.FileSystem``, from
+    ``TableIO.arrow_fs()``) routes every data-file read through the
+    table's IO seam — an object-store table resolves through its own
+    S3/GCS/HDFS filesystem on the executors. None = plain local paths
+    (LocalTableIO, the sandbox default — no wrapper overhead).
     """
 
     def resolve(batches):
@@ -239,7 +245,9 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                     ]
                 )
                 slim_parts = [
-                    pq.read_table(p, columns=slim_cols).cast(slim_schema)
+                    pq.read_table(
+                        p, columns=slim_cols, filesystem=filesystem
+                    ).cast(slim_schema)
                     for p in files
                 ]
                 slim = pa.concat_tables(slim_parts).combine_chunks()
@@ -287,7 +295,11 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                 for fi, path in enumerate(files):
                     if nsub > 1 and fi % nsub != sub:
                         continue
-                    pf = pq.ParquetFile(path)
+                    pf = pq.ParquetFile(
+                        path
+                        if filesystem is None
+                        else filesystem.open_input_file(path)
+                    )
                     for batch in pf.iter_batches(batch_size=1 << 16):
                         t = pa.Table.from_batches([batch])
                         boff = t.column(offset_col).to_numpy()
@@ -602,6 +614,7 @@ class LakeTable:
             list(self.key_cols),
             LAST_OFFSET_COL,
             BUCKET_COL if with_bucket_col else None,
+            filesystem=self.io.arrow_fs(),
         )
         rdd = self.spark.sparkContext.parallelize(entries, numSlices=len(entries))
         files_df = self.spark.createDataFrame(

@@ -104,6 +104,19 @@ class TableIO:
         entry is protected."""
         return None
 
+    def arrow_fs(self):
+        """The ``pyarrow.fs.FileSystem`` EXECUTOR-side data reads
+        should go through, or None for plain local paths. pyarrow
+        filesystems are picklable, so the bucket-local resolver ships
+        this handle inside its task closure — an object-store table's
+        ``read()``/``compact()`` then open data files through the same
+        seam as the driver's footer reads instead of silently
+        requiring executor-local paths. LocalTableIO returns None
+        (plain ``open(path)`` — no wrapper overhead on the default
+        path); MemTableIO covers the metadata plane only and never
+        serves parquet."""
+        return None
+
     # convenience wrappers used by the table
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_text(path))
@@ -222,6 +235,9 @@ class PyArrowTableIO(TableIO):
             fs = LocalFileSystem()
         self.fs = fs
         self.atomic_put = atomic_put
+
+    def arrow_fs(self):
+        return self.fs
 
     def _info(self, path: str):
         return self.fs.get_file_info([path])[0]

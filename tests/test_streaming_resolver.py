@@ -144,3 +144,114 @@ def test_sub_bucket_split_compaction_equal(spark, tmp_path, monkeypatch):
     t2 = t.refresh()
     assert _rows(t2.read(resolve="shuffle")) == want
     assert _rows(t2.read()) == want
+
+
+# --------------------------------------------------------------------------
+# executor-side reads go through the table's pyarrow filesystem seam
+# --------------------------------------------------------------------------
+
+
+def test_resolver_reads_through_the_filesystem_seam(tmp_path):
+    """Both resolver passes (slim winner read + streamed emit) must
+    open data files through the filesystem handed down from
+    ``TableIO.arrow_fs()`` — an object-store table's ``read()`` cannot
+    silently require executor-local paths (same seam rule the round-4
+    verdict applied to the driver's footer reads). Proof by
+    construction: the resolver gets RELATIVE paths that only resolve
+    through a SubTreeFileSystem rooted at the real directory — a
+    bypassing ``open(path)`` would fail, not silently pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyarrow import fs as pafs
+
+    from migrator_spark.plans.laketable import (
+        DELETED_COL, LAST_OFFSET_COL, _make_bucket_resolver,
+    )
+
+    schema = pa.schema(
+        [
+            pa.field("repo", pa.string()),
+            pa.field("path", pa.string()),
+            pa.field("content", pa.string()),
+            pa.field(LAST_OFFSET_COL, pa.int64()),
+            pa.field(DELETED_COL, pa.bool_()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r", "r"],
+                "path": ["a", "b"],
+                "content": ["a-v0", "b-v0"],
+                LAST_OFFSET_COL: [0, 1],
+                DELETED_COL: [False, False],
+            },
+            schema=schema,
+        ),
+        str(tmp_path / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"],
+                "path": ["a"],
+                "content": ["a-v1"],
+                LAST_OFFSET_COL: [2],
+                DELETED_COL: [False],
+            },
+            schema=schema,
+        ),
+        str(tmp_path / "f2.parquet"),
+    )
+    inp = [
+        pa.RecordBatch.from_pydict(
+            {
+                "bucket": [0],
+                "files": [["f1.parquet", "f2.parquet"]],  # RELATIVE
+                "sub": [0],
+                "nsub": [1],
+            }
+        )
+    ]
+    subtree = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    resolver = _make_bucket_resolver(
+        schema, ["repo", "path"], LAST_OFFSET_COL, None, filesystem=subtree
+    )
+    out = pa.Table.from_batches(list(resolver(iter(inp))), schema=schema)
+    got = {
+        (r["repo"], r["path"]): (r["content"], r[LAST_OFFSET_COL])
+        for r in out.to_pylist()
+    }
+    assert got == {("r", "a"): ("a-v1", 2), ("r", "b"): ("b-v0", 1)}
+    # and the negative: without the seam the relative paths don't exist
+    bypass = _make_bucket_resolver(
+        schema, ["repo", "path"], LAST_OFFSET_COL, None, filesystem=None
+    )
+    with pytest.raises(Exception):
+        list(bypass(iter(inp)))
+
+
+def test_pyarrow_io_table_reads_bucket_local(spark, tmp_path):
+    """End-to-end: a PyArrowTableIO-backed table (the object-store
+    code path, here over LocalFileSystem) resolves bucket-locally with
+    the table's own filesystem in the task closure, row-for-row equal
+    to the shuffle formulation."""
+    from migrator_spark.plans.tableio import PyArrowTableIO
+
+    io = PyArrowTableIO(atomic_put=True)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"],
+        num_buckets=4, io=io,
+    )
+    for b in range(3):
+        t = t.refresh()
+        t.merge(
+            _env(spark, [(b * 100 + i, "insert" if b == 0 else "update",
+                          "r", f"p{i % 25}", f"v{b}-{i}") for i in range(40)]),
+            stream_id="s", batch_id=b, compact_threshold=None,
+        )
+    t = t.refresh()
+    assert t.io.arrow_fs() is io.fs
+    assert _rows(t.read()) == _rows(t.read(resolve="shuffle"))
+    assert t.count() == 25
