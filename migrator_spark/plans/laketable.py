@@ -291,7 +291,12 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                             else pd.Index(wins[key_names[0]])
                         ).to_numpy()
                     )
-                # ---- pass 2: stream full rows, emit winners once
+                # ---- pass 2: stream full rows, emit winners once.
+                # Column projection: read ONLY the emit schema's
+                # columns (a narrowed schema = read()'s pushdown;
+                # key/offset columns are always in it) — parquet never
+                # decodes payload columns the caller didn't ask for.
+                emit_names = set(arrow_schema.names)
                 for fi, path in enumerate(files):
                     if nsub > 1 and fi % nsub != sub:
                         continue
@@ -300,7 +305,12 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                         if filesystem is None
                         else filesystem.open_input_file(path)
                     )
-                    for batch in pf.iter_batches(batch_size=1 << 16):
+                    read_cols = [
+                        n for n in pf.schema_arrow.names if n in emit_names
+                    ]
+                    for batch in pf.iter_batches(
+                        batch_size=1 << 16, columns=read_cols
+                    ):
                         t = pa.Table.from_batches([batch])
                         boff = t.column(offset_col).to_numpy()
                         left = np.searchsorted(wsorted, boff, side="left")
@@ -523,20 +533,23 @@ class LakeTable:
         return self.manifest["version"]
 
     # ------------------------------------------------------------------ read
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_raw(self, buckets: list[int] | None = None,
+                 schema: T.StructType | None = None) -> DataFrame:
         """All stored rows including tombstones; ``buckets`` prunes to
         listed buckets (manifest-level partition pruning — the scan
         never touches files outside them, like Iceberg manifest
-        pruning)."""
+        pruning). ``schema`` (a subset of the table schema) narrows
+        the parquet ReadSchema — projection pushdown into the scan."""
+        schema = schema or self.schema
         files = []
         for b, fl in self.manifest["buckets"].items():
             if buckets is None or int(b) in buckets:
                 files.extend(os.path.join(self.path, f) for f in fl)
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], schema)
         # Explicit unified schema: files written before an additive
         # evolution lack the new columns; the parquet reader fills NULL.
-        return self.spark.read.schema(self.schema).parquet(*files)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def _resolve_lww(self, raw: DataFrame) -> DataFrame:
         """Merge-on-read resolution: one row per key — the one with the
@@ -555,7 +568,8 @@ class LakeTable:
         ).dropDuplicates(self.key_cols)
 
     def _bucket_local_resolved(
-        self, buckets: list[int] | None = None, with_bucket_col: bool = False
+        self, buckets: list[int] | None = None, with_bucket_col: bool = False,
+        schema: T.StructType | None = None,
     ) -> DataFrame:
         """LWW-resolved rows (tombstones included) with NO cross-bucket
         exchange: one ``mapInArrow`` task per bucket reads that
@@ -579,7 +593,11 @@ class LakeTable:
         ``num_buckets`` remains the table's layout knob
         (~256 MB/bucket; a 100-TB table runs thousands of buckets).
         ``with_bucket_col`` appends the physical bucket id —
-        compaction writes use it to land files without reshaping."""
+        compaction writes use it to land files without reshaping.
+        ``schema`` (a subset of the table schema that must keep the
+        key/offset/deleted columns) narrows what the emit pass READS
+        from parquet — projection pushdown through the custom scan
+        (see :meth:`read`)."""
         split_bytes = int(
             os.environ.get("SPARK_GRAFT_RESOLVE_SPLIT_BYTES", str(256 << 20))
         )
@@ -599,7 +617,7 @@ class LakeTable:
                 )
             for s in range(nsub):
                 entries.append((int(b), paths, s, nsub))
-        out_schema = self.schema
+        out_schema = schema or self.schema
         if with_bucket_col:
             out_schema = T.StructType(
                 list(out_schema.fields)
@@ -610,7 +628,7 @@ class LakeTable:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         resolver = _make_bucket_resolver(
-            to_arrow_schema(self.schema),
+            to_arrow_schema(schema or self.schema),
             list(self.key_cols),
             LAST_OFFSET_COL,
             BUCKET_COL if with_bucket_col else None,
@@ -647,7 +665,8 @@ class LakeTable:
         return small, big
 
     def _resolved(
-        self, buckets: list[int] | None = None, with_bucket_col: bool = False
+        self, buckets: list[int] | None = None, with_bucket_col: bool = False,
+        schema: T.StructType | None = None,
     ) -> DataFrame:
         """LWW-resolved rows (tombstones included) via the HYBRID
         strategy: buckets within the per-bucket byte budget resolve
@@ -662,7 +681,7 @@ class LakeTable:
         resolver — read(), compact(), tombstone-GC and patch-mode's
         current-state read — the bench's same-epoch A/B knob."""
         if os.environ.get("SPARK_GRAFT_RESOLVE") == "shuffle":
-            shf = self._resolve_lww(self.read_raw(buckets))
+            shf = self._resolve_lww(self.read_raw(buckets, schema=schema))
             if with_bucket_col:
                 shf = shf.withColumn(
                     BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
@@ -671,9 +690,11 @@ class LakeTable:
         small, big = self._split_by_budget(buckets)
         parts: list[DataFrame] = []
         if small or not big:
-            parts.append(self._bucket_local_resolved(small, with_bucket_col))
+            parts.append(
+                self._bucket_local_resolved(small, with_bucket_col, schema=schema)
+            )
         if big:
-            shf = self._resolve_lww(self.read_raw(big))
+            shf = self._resolve_lww(self.read_raw(big, schema=schema))
             if with_bucket_col:
                 shf = shf.withColumn(
                     BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
@@ -684,7 +705,8 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read(self, buckets: list[int] | None = None, resolve: str | None = None) -> DataFrame:
+    def read(self, buckets: list[int] | None = None, resolve: str | None = None,
+             columns: list[str] | None = None) -> DataFrame:
         """Current visible table state (LWW-resolved, tombstones
         filtered out).
 
@@ -695,21 +717,49 @@ class LakeTable:
         formulation for everything (kept as the equality witness and
         for sessions where Python workers are unavailable). ``None``
         reads the default from ``SPARK_GRAFT_RESOLVE`` (the bench's
-        same-epoch A/B knob), else "local"."""
+        same-epoch A/B knob), else "local".
+
+        ``columns``: PROJECTION PUSHDOWN through the custom scan.
+        Catalyst cannot prune columns through a ``mapInArrow``
+        boundary (the Python task decides what it reads), so a
+        projecting consumer must say so here: the resolver's emit pass
+        then reads only ``columns`` ∪ (key, offset, deleted) from
+        parquet — on a wide table a two-column projection stops
+        decoding every payload column — and the shuffle fallback's
+        parquet ReadSchema narrows identically. Returns exactly
+        ``columns`` in the given order. None = all columns (the
+        historical contract)."""
         if resolve is None:
             resolve = os.environ.get("SPARK_GRAFT_RESOLVE", "local")
         if resolve not in ("local", "shuffle"):
             raise ValueError(f"unknown resolve {resolve!r}")
+        narrow = None
+        if columns is not None:
+            valid = {f.name for f in self.schema.fields if f.name != DELETED_COL}
+            unknown = [c for c in columns if c not in valid]
+            if unknown:
+                raise ValueError(
+                    f"unknown columns {unknown!r}; table has {sorted(valid)}"
+                )
+            needed = set(columns) | set(self.key_cols) | {
+                LAST_OFFSET_COL, DELETED_COL,
+            }
+            narrow = T.StructType(
+                [f for f in self.schema.fields if f.name in needed]
+            )
         resolved = (
-            self._resolve_lww(self.read_raw(buckets))
+            self._resolve_lww(self.read_raw(buckets, schema=narrow))
             if resolve == "shuffle"
-            else self._resolved(buckets)
+            else self._resolved(buckets, schema=narrow)
         )
-        return (
+        out = (
             resolved
             .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             .drop(DELETED_COL)
         )
+        if columns is not None:
+            out = out.select(*columns)
+        return out
 
     def count(self, estimate: bool = False, buckets: list[int] | None = None,
               resolve: str | None = None) -> int:
@@ -725,12 +775,18 @@ class LakeTable:
         EstimatedDocumentCount vs CountDocuments).
 
         ``buckets`` prunes the accurate count to the listed buckets
-        (manifest-level file pruning)."""
+        (manifest-level file pruning). The accurate count projects a
+        single key column through :meth:`read`'s pushdown — it decodes
+        keys + offset + deleted, never the payload (on a wide
+        documents table that is the difference between counting and
+        re-reading the table)."""
         if estimate:
             src = self.manifest.get("bucket_rows", {})
             keys = None if buckets is None else {str(b) for b in buckets}
             return sum(int(v) for b, v in src.items() if keys is None or b in keys)
-        return self.read(buckets=buckets, resolve=resolve).count()
+        return self.read(
+            buckets=buckets, resolve=resolve, columns=[self.key_cols[0]]
+        ).count()
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -1704,9 +1760,17 @@ class LakeTable:
         )
         # pass 1 finds affected buckets (only bucket ids shuffle for
         # the distinct — ints, not payload); pass 2 rewrites them
-        # bucket-locally, zero payload exchange
+        # bucket-locally, zero payload exchange. Pass 1 only needs the
+        # tombstone flag — project keys+offset+deleted through the
+        # resolver so it never decodes payload columns.
+        slim = T.StructType(
+            [
+                f for f in self.schema.fields
+                if f.name in set(self.key_cols) | {LAST_OFFSET_COL, DELETED_COL}
+            ]
+        )
         has = (
-            self._resolved(with_bucket_col=True)
+            self._resolved(with_bucket_col=True, schema=slim)
             .filter(expirable)
             .select(BUCKET_COL)
             .distinct()

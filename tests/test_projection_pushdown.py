@@ -1,0 +1,165 @@
+"""Projection pushdown through the LWW read path. Catalyst cannot
+prune columns through a ``mapInArrow`` boundary, so ``read(columns=)``
+is the explicit projection contract: the resolver's emit pass reads
+only the requested columns ∪ (key, offset, deleted) from parquet, and
+the shuffle fallback narrows its parquet ReadSchema identically.
+``count(accurate)`` rides it (one key column instead of the payload).
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import (
+    DELETED_COL,
+    LAST_OFFSET_COL,
+    LakeTable,
+    _make_bucket_resolver,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "offset long, op string, repo string, path string, "
+        "content string, lang string",
+    )
+
+
+def _build(spark, tmp_path, buckets=4):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, ["repo", "path"], num_buckets=buckets
+    )
+    t.merge(
+        _env(spark, [(i, "insert", "r", f"p{i % 30}", f"c{i}", "py")
+                     for i in range(50)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    t = t.refresh()
+    t.merge(
+        _env(spark, [(100 + i, "delete" if i % 7 == 0 else "update",
+                      "r", f"p{i % 30}", f"c2-{i}", "go")
+                     for i in range(30)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    return t.refresh()
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_projected_read_equals_full_read_select(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    full = t.read().select("path", "content")
+    proj = t.read(columns=["path", "content"])
+    assert proj.columns == ["path", "content"]
+    assert _vals(proj) == _vals(full)
+    # shuffle path agrees too (same narrowed semantics)
+    assert _vals(t.read(columns=["path", "content"], resolve="shuffle")) == _vals(full)
+
+
+def test_projection_may_include_offset_and_keys(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    proj = t.read(columns=["repo", LAST_OFFSET_COL])
+    assert proj.columns == ["repo", LAST_OFFSET_COL]
+    assert _vals(proj) == _vals(t.read().select("repo", LAST_OFFSET_COL))
+
+
+def test_projection_rejects_unknown_and_internal_columns(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(columns=["nope"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(columns=[DELETED_COL])
+
+
+def test_projection_over_additive_evolution(spark, tmp_path):
+    """Requesting a column added AFTER some files were written must
+    null-pad the old files' rows — through the narrowed schema."""
+    t = _build(spark, tmp_path)
+    evolved = spark.createDataFrame(
+        [(500, "update", "r", "p1", "c-new", "rs", 9.5)],
+        "offset long, op string, repo string, path string, "
+        "content string, lang string, score double",
+    )
+    t.merge(evolved, stream_id="s", batch_id=2, compact_threshold=None)
+    t = t.refresh()
+    proj = t.read(columns=["path", "score"])
+    got = {r["path"]: r["score"] for r in proj.collect()}
+    assert got["p1"] == 9.5
+    assert sum(1 for v in got.values() if v is None) == len(got) - 1
+    assert _vals(proj) == _vals(t.read().select("path", "score"))
+
+
+def test_accurate_count_unchanged_by_slim_projection(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    assert t.count() == t.read().count()
+    assert t.count(resolve="shuffle") == t.read().count()
+    assert t.count(buckets=[0, 1]) == t.read(buckets=[0, 1]).count()
+
+
+def test_emit_pass_reads_only_projected_columns(tmp_path, monkeypatch):
+    """The structural claim, asserted at the parquet reader: with a
+    narrowed schema the emit pass passes exactly the narrow column set
+    to ``iter_batches`` — the payload columns the caller didn't ask
+    for are never decoded."""
+    schema_full = pa.schema(
+        [
+            pa.field("repo", pa.string()),
+            pa.field("path", pa.string()),
+            pa.field("content", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field(LAST_OFFSET_COL, pa.int64()),
+            pa.field(DELETED_COL, pa.bool_()),
+        ]
+    )
+    f1 = str(tmp_path / "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r", "r"],
+                "path": ["a", "b"],
+                "content": ["big-a", "big-b"],
+                "lang": ["py", "go"],
+                LAST_OFFSET_COL: [0, 1],
+                DELETED_COL: [False, False],
+            },
+            schema=schema_full,
+        ),
+        f1,
+    )
+    seen: list[list[str]] = []
+    orig = pq.ParquetFile.iter_batches
+
+    def spy(self, *a, **kw):
+        seen.append(sorted(kw.get("columns") or []))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "iter_batches", spy)
+    narrow = pa.schema(
+        [f for f in schema_full if f.name != "content" and f.name != "lang"]
+    )
+    resolver = _make_bucket_resolver(
+        narrow, ["repo", "path"], LAST_OFFSET_COL, None
+    )
+    inp = [
+        pa.RecordBatch.from_pydict(
+            {"bucket": [0], "files": [[f1]], "sub": [0], "nsub": [1]}
+        )
+    ]
+    out = pa.Table.from_batches(list(resolver(iter(inp))), schema=narrow)
+    assert out.num_rows == 2
+    assert out.column_names == narrow.names
+    assert seen == [sorted([DELETED_COL, LAST_OFFSET_COL, "path", "repo"])]
