@@ -488,6 +488,25 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         spark, log_dir, os.path.join(BENCH_ROOT, "table-full-loc2"),
         batches=batches, est_keys=num_keys,
     )
+    # Incremental consumption (round-5 CDF): reading the LAST batch's
+    # net changes must cost a fraction of a full table read — the
+    # O(changed buckets) claim, measured. Same warm session as the
+    # read it is compared against.
+    cdf = {}
+    try:
+        from migrator_spark.plans.laketable import LakeTable as _LT
+
+        ft = _LT.load(spark, os.path.join(BENCH_ROOT, "table-full"))
+        t0 = time.monotonic()
+        n_changes = ft.changes(ft.version - 1).count()
+        cdf["changes_last_batch_sec"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        full_rows = ft.read().count()
+        cdf["full_read_sec"] = round(time.monotonic() - t0, 3)
+        cdf["changes_rows"] = int(n_changes)
+        cdf["full_rows"] = int(full_rows)
+    except Exception as e:  # never fail the record over the extra probe
+        cdf["error"] = str(e)[-200:]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline suite wall time (CDC apply + operator queries)",
@@ -503,6 +522,7 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
             k: cdc_local2[k] for k in ("wall_sec", "events_per_sec", "write_sec")
         },
         "control_fixed_sec": control_fixed,
+        "cdc_changes_feed": cdf,
         "cores": CPUS,
     }
     # ANN quality rides every bench record: recall@10 of the LSH index

@@ -108,6 +108,25 @@ def main(argv: list[str] | None = None) -> int:
                         "for sessions without Python workers)")
     n.add_argument("--cores", type=int, default=None)
 
+    ch = sub.add_parser(
+        "changes",
+        help="change data feed between two snapshot versions (CDF): "
+             "net per-key insert/update/delete rows — downstream "
+             "pipelines consume O(changed buckets), never a rescan",
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, required=True,
+                    help="starting snapshot version (exclusive state)")
+    ch.add_argument("--to", type=int, default=None,
+                    help="ending snapshot version (default: current HEAD)")
+    ch.add_argument("--strategy", default=None, choices=["local", "join"],
+                    help="bucket-local zero-exchange diff (default) or the "
+                         "two-resolve join formulation")
+    ch.add_argument("--dest", default=None,
+                    help="write the feed to this parquet dir; omit to only "
+                         "print counts")
+    ch.add_argument("--cores", type=int, default=None)
+
     imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
     imp.add_argument("--table", required=True)
     imp.add_argument("--src", required=True)
@@ -187,6 +206,33 @@ def main(argv: list[str] | None = None) -> int:
         if args.accurate:
             out["accurate"] = table.count(resolve=args.resolve)
         print(json.dumps(out))
+        return 0
+
+    if args.mode == "changes":
+        from pyspark.sql import functions as F
+
+        from migrator_spark.plans.laketable import CHANGE_COL, LakeTable
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-changes", cores=args.cores)
+        table = LakeTable.load(spark, args.table)
+        feed = table.changes(args.since, args.to, strategy=args.strategy)
+        if args.dest:
+            feed.write.mode("overwrite").parquet(args.dest)
+            feed = spark.read.parquet(args.dest)
+        by_type = {
+            r[CHANGE_COL]: r["n"]
+            for r in feed.groupBy(CHANGE_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({
+            "since": args.since,
+            "to": args.to if args.to is not None else table.version,
+            "changes": sum(by_type.values()),
+            "by_type": by_type,
+            "dest": args.dest,
+        }))
         return 0
 
     if args.mode == "import":

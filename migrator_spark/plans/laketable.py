@@ -99,6 +99,7 @@ LAST_OFFSET_COL = "_last_offset"
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
 SET_COLS_COL = "_set_cols"
+CHANGE_COL = "_change_type"
 META_COLS = ("offset", "op", "ts")
 
 # Per-bucket decode budget for the bucket-local resolver: a bucket
@@ -291,99 +292,281 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                             else pd.Index(wins[key_names[0]])
                         ).to_numpy()
                     )
-                # ---- pass 2: stream full rows, emit winners once.
-                # Column projection: read ONLY the emit schema's
-                # columns (a narrowed schema = read()'s pushdown;
-                # key/offset columns are always in it) — parquet never
-                # decodes payload columns the caller didn't ask for.
-                emit_names = set(arrow_schema.names)
-                for fi, path in enumerate(files):
-                    if nsub > 1 and fi % nsub != sub:
-                        continue
-                    pf = pq.ParquetFile(
-                        path
-                        if filesystem is None
-                        else filesystem.open_input_file(path)
-                    )
-                    read_cols = [
-                        n for n in pf.schema_arrow.names if n in emit_names
-                    ]
-                    for batch in pf.iter_batches(
-                        batch_size=1 << 16, columns=read_cols
+                # ---- pass 2: stream full rows, emit winners once
+                # (shared with the change-feed diff resolver)
+                extra = None
+                if bucket_field_name is not None:
+                    extra = [(
+                        pa.field(bucket_field_name, pa.int32()),
+                        np.full(len(wins), bucket, dtype=np.int32),
+                    )]
+                yield from _emit_rows(
+                    files, sub, nsub, arrow_schema, key_names, offset_col,
+                    wsorted, worder, wkeys, emitted, first_fidx, filesystem,
+                    extra_fields=extra,
+                )
+
+    return resolve
+
+
+def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
+               wsorted, worder, wkeys, emitted, first_fidx, filesystem,
+               extra_fields=None):
+    """Streaming winner-EMIT pass shared by the LWW bucket resolver and
+    the change-feed diff resolver: given the winner set ``(wsorted
+    offsets, worder, wkeys)`` computed by a slim pass, stream each
+    file's row groups, match rows to winners by offset (sorted int64 +
+    ``searchsorted``), VERIFY keys on the candidate set, and emit each
+    winner's first occurrence exactly once (``emitted`` carries state
+    across files). Column projection: reads ONLY ``arrow_schema``'s
+    columns from parquet (a narrowed schema = ``read()``'s pushdown).
+
+    ``extra_fields``: optional ``[(pa.field, per-winner values)]``
+    appended to every emitted batch, aligned row-for-row with the
+    emitted winners — the resolver appends the constant bucket id, the
+    diff resolver a per-winner insert/update change type."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emit_names = set(arrow_schema.names)
+    for fi, path in enumerate(files):
+        if nsub > 1 and fi % nsub != sub:
+            continue
+        pf = pq.ParquetFile(
+            path
+            if filesystem is None
+            else filesystem.open_input_file(path)
+        )
+        read_cols = [
+            n for n in pf.schema_arrow.names if n in emit_names
+        ]
+        for batch in pf.iter_batches(
+            batch_size=1 << 16, columns=read_cols
+        ):
+            t = pa.Table.from_batches([batch])
+            boff = t.column(offset_col).to_numpy()
+            left = np.searchsorted(wsorted, boff, side="left")
+            right = np.searchsorted(wsorted, boff, side="right")
+            cand = right > left
+            if not cand.any():
+                continue
+            crows = np.nonzero(cand)[0]
+            lo, hi = left[crows], right[crows]
+            # key verification on the candidate set: two
+            # independent streams (e.g. a forced-offset
+            # import beside a tail) may reuse an offset for
+            # DIFFERENT keys — the offset match is only a
+            # prefilter, keys decide. Fast path: the
+            # winner-offset run has length 1 (offsets are
+            # unique within a stream, so >1 means a
+            # cross-stream collision — rare by design).
+            cpos = worder[lo]
+            small = t.take(pa.array(crows))
+            keymats = [
+                np.asarray(small.column(k).to_pandas())
+                for k in key_names
+            ]
+            ok = np.ones(len(crows), dtype=bool)
+            for ki in range(len(key_names)):
+                ok &= keymats[ki] == wkeys[ki][cpos]
+            # slow path: scan the equal-offset run for the
+            # entry whose keys match this row
+            for i in np.nonzero((hi - lo) > 1)[0]:
+                ok[i] = False
+                for j in range(lo[i], hi[i]):
+                    p = worder[j]
+                    if all(
+                        keymats[ki][i] == wkeys[ki][p]
+                        for ki in range(len(key_names))
                     ):
-                        t = pa.Table.from_batches([batch])
-                        boff = t.column(offset_col).to_numpy()
-                        left = np.searchsorted(wsorted, boff, side="left")
-                        right = np.searchsorted(wsorted, boff, side="right")
-                        cand = right > left
-                        if not cand.any():
-                            continue
-                        crows = np.nonzero(cand)[0]
-                        lo, hi = left[crows], right[crows]
-                        # key verification on the candidate set: two
-                        # independent streams (e.g. a forced-offset
-                        # import beside a tail) may reuse an offset for
-                        # DIFFERENT keys — the offset match is only a
-                        # prefilter, keys decide. Fast path: the
-                        # winner-offset run has length 1 (offsets are
-                        # unique within a stream, so >1 means a
-                        # cross-stream collision — rare by design).
-                        cpos = worder[lo]
-                        small = t.take(pa.array(crows))
-                        keymats = [
-                            np.asarray(small.column(k).to_pandas())
-                            for k in key_names
-                        ]
-                        ok = np.ones(len(crows), dtype=bool)
-                        for ki in range(len(key_names)):
-                            ok &= keymats[ki] == wkeys[ki][cpos]
-                        # slow path: scan the equal-offset run for the
-                        # entry whose keys match this row
-                        for i in np.nonzero((hi - lo) > 1)[0]:
-                            ok[i] = False
-                            for j in range(lo[i], hi[i]):
-                                p = worder[j]
-                                if all(
-                                    keymats[ki][i] == wkeys[ki][p]
-                                    for ki in range(len(key_names))
-                                ):
-                                    cpos[i] = p
-                                    ok[i] = True
-                                    break
-                        if first_fidx is not None:
-                            # sub-bucket slice: this file only emits
-                            # winners whose first occurrence is HERE
-                            ok &= first_fidx[cpos] == fi
-                        crows, cpos = crows[ok], cpos[ok]
-                        if crows.size == 0:
-                            continue
-                        uniq, first = np.unique(cpos, return_index=True)
-                        fresh = ~emitted[uniq]
-                        keep_rows = crows[first][fresh]
-                        if keep_rows.size == 0:
-                            continue
-                        emitted[uniq[fresh]] = True
-                        mask = np.zeros(t.num_rows, dtype=bool)
-                        mask[keep_rows] = True
-                        picked = t.filter(pa.array(mask))
-                        cols = []
-                        for field in arrow_schema:
-                            if field.name in picked.column_names:
-                                col = picked.column(field.name)
-                                if col.type != field.type:
-                                    col = col.cast(field.type)
-                                cols.append(col)
-                            else:  # additive evolution: older file lacks it
-                                cols.append(pa.nulls(picked.num_rows, field.type))
-                        resolved = pa.table(cols, schema=arrow_schema)
-                        if bucket_field_name is not None:
-                            resolved = resolved.append_column(
-                                pa.field(bucket_field_name, pa.int32()),
+                        cpos[i] = p
+                        ok[i] = True
+                        break
+            if first_fidx is not None:
+                # sub-bucket slice: this file only emits
+                # winners whose first occurrence is HERE
+                ok &= first_fidx[cpos] == fi
+            crows, cpos = crows[ok], cpos[ok]
+            if crows.size == 0:
+                continue
+            uniq, first = np.unique(cpos, return_index=True)
+            fresh = ~emitted[uniq]
+            keep_rows = crows[first][fresh]
+            if keep_rows.size == 0:
+                continue
+            emitted[uniq[fresh]] = True
+            mask = np.zeros(t.num_rows, dtype=bool)
+            mask[keep_rows] = True
+            picked = t.filter(pa.array(mask))
+            cols = []
+            for field in arrow_schema:
+                if field.name in picked.column_names:
+                    col = picked.column(field.name)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    cols.append(col)
+                else:  # additive evolution: older file lacks it
+                    cols.append(pa.nulls(picked.num_rows, field.type))
+            resolved = pa.table(cols, schema=arrow_schema)
+            if extra_fields:
+                # picked rows are in ascending row-index order =
+                # keep_rows sorted; align per-winner values to that
+                order = np.argsort(keep_rows, kind="stable")
+                wsel = uniq[fresh][order]
+                for field, vals in extra_fields:
+                    resolved = resolved.append_column(
+                        field, pa.array(vals[wsel].tolist(), type=field.type)
+                    )
+            yield from resolved.to_batches(max_chunksize=1 << 16)
+
+
+def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
+                               offset_col: str, deleted_col: str,
+                               change_field, filesystem=None):
+    """Task function for the bucket-local CHANGE FEED (``mapInArrow``).
+
+    Each input row is ``(bucket, old_files, new_files)`` — one bucket's
+    file lists at the two snapshot versions being diffed. The task
+    computes the bucket's net per-key changes with ZERO cross-bucket
+    exchange:
+
+    1. **Slim pass** over old ∪ new files (keys + offset + deleted
+       only, column-pruned reads) with per-file version-membership
+       masks; two groupby-max folds give every key's winner at BOTH
+       versions from ONE read (merge-on-read appends: the old file
+       list is usually a subset of the new, so nothing is read twice).
+    2. **Classify**: insert (old absent-or-tombstoned → new live),
+       update (both live, winning offset moved), delete (old live →
+       new tombstoned or vacuumed). Unchanged keys (same winning
+       offset) and still-dead keys emit nothing.
+    3. **Emit**: insert/update payloads stream from the NEW files
+       through the shared :func:`_emit_rows` pass restricted to the
+       changed winner set (each winner labelled with its change type);
+       delete rows are built directly from the slim fold — key columns
+       + the tombstone's offset, payload NULL — so deletes never
+       decode payload at all.
+
+    ``emit_schema`` is the to-version arrow schema WITHOUT the deleted
+    column; every output batch is ``emit_schema`` + ``change_field``.
+    """
+
+    def resolve(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        slim_cols = list(key_names) + [offset_col, deleted_col]
+        full_schema = pa.schema(list(emit_schema) + [change_field])
+        off_o, off_n = offset_col + "_o", offset_col + "_n"
+        del_o, del_n = deleted_col + "_o", deleted_col + "_n"
+        for rb in batches:
+            for _bucket, old_files, new_files in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist(),
+                rb.column(2).to_pylist(),
+            ):
+                old_set, new_set = set(old_files), set(new_files)
+                all_files = list(dict.fromkeys(list(old_files) + list(new_files)))
+                if not all_files:
+                    continue
+                slim_schema = pa.schema(
+                    [
+                        pa.field(k, emit_schema.field(k).type, nullable=True)
+                        for k in key_names
+                    ]
+                    + [
+                        pa.field(offset_col, pa.int64(), nullable=True),
+                        pa.field(deleted_col, pa.bool_(), nullable=True),
+                    ]
+                )
+                parts = [
+                    pq.read_table(
+                        p, columns=slim_cols, filesystem=filesystem
+                    ).cast(slim_schema)
+                    for p in all_files
+                ]
+                slim = pa.concat_tables(parts).combine_chunks()
+                if slim.num_rows == 0:
+                    continue
+                sdf = pd.DataFrame(
+                    {c: slim.column(c).to_pandas() for c in slim_cols}
+                )
+                fidx = np.repeat(
+                    np.arange(len(all_files)), [t.num_rows for t in parts]
+                )
+                in_old = np.array(
+                    [f in old_set for f in all_files], dtype=bool
+                )[fidx]
+                in_new = np.array(
+                    [f in new_set for f in all_files], dtype=bool
+                )[fidx]
+
+                def fold(mask):
+                    sub = sdf[mask]
+                    if sub.empty:
+                        return sub
+                    idx = sub.groupby(
+                        key_names, sort=False, dropna=False
+                    )[offset_col].idxmax()
+                    return sdf.loc[idx.to_numpy()]
+
+                m = fold(in_old).merge(
+                    fold(in_new), on=key_names, how="outer",
+                    suffixes=("_o", "_n"),
+                )
+                if m.empty:
+                    continue
+                has_o = m[off_o].notna()
+                has_n = m[off_n].notna()
+                o_live = has_o & ~m[del_o].eq(True)
+                n_live = has_n & ~m[del_n].eq(True)
+                ins = ~o_live & n_live
+                upd = o_live & n_live & (m[off_o] != m[off_n])
+                dele = o_live & ~n_live
+                emitsel = m[ins | upd]
+                if len(emitsel):
+                    woff = emitsel[off_n].to_numpy(np.int64)
+                    worder = np.argsort(woff, kind="stable")
+                    wsorted = woff[worder]
+                    wkeys = [emitsel[k].to_numpy() for k in key_names]
+                    labels = np.where(
+                        ins.loc[emitsel.index].to_numpy(), "insert", "update"
+                    ).astype(object)
+                    emitted = np.zeros(len(emitsel), dtype=bool)
+                    yield from _emit_rows(
+                        list(new_files), 0, 1, emit_schema, key_names,
+                        offset_col, wsorted, worder, wkeys, emitted, None,
+                        filesystem, extra_fields=[(change_field, labels)],
+                    )
+                delsel = m[dele]
+                if len(delsel):
+                    # tombstone offset when the delete is still
+                    # materialized; the pre-delete winner's offset if
+                    # the tombstone was already GC'd between versions
+                    doff = (
+                        delsel[off_n].fillna(delsel[off_o]).to_numpy(np.int64)
+                    )
+                    cols = []
+                    for field in full_schema:
+                        if field.name in key_names:
+                            cols.append(
                                 pa.array(
-                                    np.full(resolved.num_rows, bucket, dtype=np.int32)
-                                ),
+                                    delsel[field.name].tolist(), type=field.type
+                                )
                             )
-                        yield from resolved.to_batches(max_chunksize=1 << 16)
+                        elif field.name == offset_col:
+                            cols.append(pa.array(doff, type=field.type))
+                        elif field.name == change_field.name:
+                            cols.append(
+                                pa.array(["delete"] * len(delsel),
+                                         type=field.type)
+                            )
+                        else:
+                            cols.append(pa.nulls(len(delsel), field.type))
+                    yield from pa.table(
+                        cols, schema=full_schema
+                    ).to_batches(max_chunksize=1 << 16)
 
     return resolve
 
@@ -787,6 +970,205 @@ class LakeTable:
         return self.read(
             buckets=buckets, resolve=resolve, columns=[self.key_cols[0]]
         ).count()
+
+    # --------------------------------------------------------- change feed
+    def _manifest_at(self, version: int) -> dict:
+        """The manifest published as snapshot ``version`` (current
+        version short-circuits to the in-memory manifest)."""
+        if version == self.version:
+            return self.manifest
+        p = os.path.join(self.path, "snapshots", f"v{version:08d}.json")
+        try:
+            return self.io.read_json(p)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"snapshot v{version} not found under {self.path!r} — "
+                "expired by expire_snapshots or never published"
+            ) from e
+
+    def changes(self, since_version: int, to_version: int | None = None,
+                strategy: str | None = None) -> DataFrame:
+        """CHANGE DATA FEED: the net per-key changes between two
+        snapshot versions (Delta CDF / Iceberg incremental-read
+        analogue) — the incremental-consumption contract that lets a
+        downstream pipeline chain off this sink without rescanning it.
+        Reference analogue: the reference TAILS source change streams
+        (datasources/mongo.go watch / pipelines replication); this
+        exposes the same feed on the SINK, so migrations compose.
+
+        Returns ``payload + _last_offset + _change_type`` where
+        ``_change_type`` ∈ ('insert', 'update', 'delete'):
+
+        - **insert** — key absent or tombstoned at ``since``, live at
+          ``to`` (payload = new row);
+        - **update** — live at both with a DIFFERENT winning offset
+          (payload = new row; offset is the change identity — a replay
+          that didn't move the winner is NOT a change);
+        - **delete** — live at ``since``, tombstoned (or vacuumed) at
+          ``to``: key columns + the tombstone's offset, payload NULL.
+
+        Scale shape: buckets whose manifest file list is IDENTICAL at
+        both versions are skipped outright (a commit touches only the
+        buckets it wrote — the feed costs O(changed buckets), never
+        O(table)); each changed bucket diffs inside ONE ``mapInArrow``
+        task with zero cross-bucket exchange (``strategy="local"``,
+        the default) — one slim read over old ∪ new files yields both
+        versions' winners, and only changed rows are decoded/emitted.
+        ``strategy="join"`` is the plain two-resolve full-outer-join
+        formulation (the equality witness, and the spill-capable
+        fallback the per-bucket byte-budget guard routes oversized
+        buckets through). ``SPARK_GRAFT_CHANGES`` sets the default.
+        """
+        to_version = self.version if to_version is None else int(to_version)
+        since_version = int(since_version)
+        if since_version > to_version:
+            raise ValueError(
+                f"since_version {since_version} > to_version {to_version}"
+            )
+        if strategy is None:
+            strategy = os.environ.get("SPARK_GRAFT_CHANGES", "local")
+        if strategy not in ("local", "join"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        old_m = self._manifest_at(since_version)
+        new_m = self._manifest_at(to_version)
+        if old_m["num_buckets"] != new_m["num_buckets"]:
+            raise ValueError("bucket layout changed between versions")
+        new_t = (
+            self if new_m is self.manifest
+            else LakeTable(self.spark, self.path, new_m, io=self.io)
+        )
+        if new_t is not self and hasattr(self, "local_resolve_budget_bytes"):
+            new_t.local_resolve_budget_bytes = self.local_resolve_budget_bytes
+        new_schema = new_t.schema
+        out_schema = T.StructType(
+            [f for f in new_schema.fields if f.name != DELETED_COL]
+            + [T.StructField(CHANGE_COL, T.StringType(), True)]
+        )
+        ob, nb = old_m["buckets"], new_m["buckets"]
+        cand = sorted(
+            int(b)
+            for b in set(ob) | set(nb)
+            if set(ob.get(b, [])) != set(nb.get(b, []))
+        )
+        if not cand:
+            return self.spark.createDataFrame([], out_schema)
+        if strategy == "join":
+            return self._changes_join(old_m, new_t, cand, out_schema)
+        # hybrid: oversized buckets (by the TO-version manifest's byte
+        # totals) take the spill-capable join path, like _resolved
+        small, big = new_t._split_by_budget(cand)
+        parts: list[DataFrame] = []
+        if small or not big:
+            parts.append(
+                self._changes_local(old_m, new_m, new_schema, small, out_schema)
+            )
+        if big:
+            parts.append(self._changes_join(old_m, new_t, big, out_schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _changes_local(self, old_m: dict, new_m: dict,
+                       new_schema: T.StructType, buckets: list[int],
+                       out_schema: T.StructType) -> DataFrame:
+        """Bucket-local diff: one task per changed bucket, zero
+        cross-bucket exchange (see :meth:`changes`)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        entries = []
+        for b in buckets:
+            old_paths = [
+                os.path.join(self.path, f)
+                for f in old_m["buckets"].get(str(b), [])
+            ]
+            new_paths = [
+                os.path.join(self.path, f)
+                for f in new_m["buckets"].get(str(b), [])
+            ]
+            entries.append((b, old_paths, new_paths))
+        if not entries:
+            return self.spark.createDataFrame([], out_schema)
+        emit_schema = to_arrow_schema(
+            T.StructType(
+                [f for f in new_schema.fields if f.name != DELETED_COL]
+            )
+        )
+        resolver = _make_bucket_diff_resolver(
+            emit_schema,
+            list(self.key_cols),
+            LAST_OFFSET_COL,
+            DELETED_COL,
+            pa.field(CHANGE_COL, pa.string()),
+            filesystem=self.io.arrow_fs(),
+        )
+        rdd = self.spark.sparkContext.parallelize(entries, numSlices=len(entries))
+        files_df = self.spark.createDataFrame(
+            rdd,
+            "bucket int, old_files array<string>, new_files array<string>",
+        )
+        return files_df.mapInArrow(resolver, schema=out_schema)
+
+    def _changes_join(self, old_m: dict, new_t: "LakeTable",
+                      buckets: list[int],
+                      out_schema: T.StructType) -> DataFrame:
+        """Join-formulation diff (equality witness + oversized-bucket
+        fallback): resolve BOTH versions (old side slim — keys +
+        offset + deleted only, via the projection pushdown), full-outer
+        join on keys, classify. Shuffles O(changed-bucket rows)."""
+        old_t = LakeTable(self.spark, self.path, old_m, io=self.io)
+        if hasattr(self, "local_resolve_budget_bytes"):
+            old_t.local_resolve_budget_bytes = self.local_resolve_budget_bytes
+        o_off, o_del = "_o" + LAST_OFFSET_COL, "_o" + DELETED_COL
+        slim = T.StructType(
+            [
+                f for f in old_t.schema.fields
+                if f.name in set(self.key_cols) | {LAST_OFFSET_COL, DELETED_COL}
+            ]
+        )
+        o = (
+            old_t._resolved(buckets, schema=slim)
+            .withColumnRenamed(LAST_OFFSET_COL, o_off)
+            .withColumnRenamed(DELETED_COL, o_del)
+        )
+        n = new_t._resolved(buckets)
+        j = n.join(o, on=list(self.key_cols), how="full_outer")
+        o_live = F.col(o_off).isNotNull() & ~F.coalesce(
+            F.col(o_del), F.lit(False)
+        )
+        n_live = F.col(LAST_OFFSET_COL).isNotNull() & ~F.coalesce(
+            F.col(DELETED_COL), F.lit(False)
+        )
+        ct = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            .when(
+                o_live & n_live
+                & (F.col(o_off) != F.col(LAST_OFFSET_COL)),
+                F.lit("update"),
+            )
+            .when(o_live & ~n_live, F.lit("delete"))
+        )
+        j = j.withColumn(CHANGE_COL, ct).filter(F.col(CHANGE_COL).isNotNull())
+        cols = []
+        for f in out_schema.fields:
+            if f.name in self.key_cols or f.name == CHANGE_COL:
+                cols.append(F.col(f.name))
+            elif f.name == LAST_OFFSET_COL:
+                cols.append(
+                    F.coalesce(F.col(LAST_OFFSET_COL), F.col(o_off))
+                    .alias(LAST_OFFSET_COL)
+                )
+            else:  # payload: NULL on delete rows, new value otherwise
+                cols.append(
+                    F.when(
+                        F.col(CHANGE_COL) == "delete",
+                        F.lit(None).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+        return j.select(*cols)
 
     # ----------------------------------------------------------------- merge
     def merge(

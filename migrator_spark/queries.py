@@ -1060,6 +1060,136 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_APPLY_FULL = SQL_CDC_LWW_FINAL_STATE
 
 
+def _cdc_two_batch_table(spark: SparkSession, sf_dir: str):
+    """Build the engine table in TWO merges split at the offset
+    midpoint; returns ``(table, v_mid)`` where ``v_mid`` is the
+    snapshot version after batch 0. Shared by the time-travel and
+    change-feed gates. ``compact_threshold=None`` keeps both versions'
+    file lists pure deltas (no rewrite/GC between the snapshots the
+    oracle folds over)."""
+    from migrator_spark.plans.laketable import LakeTable
+
+    ev = envelope(spark, sf_dir).withColumnRenamed("ev_offset", "offset")
+    payload = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-travel-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
+    # TEST-HARNESS ONLY driver max() — mirrors q_cdc_apply_full
+    n = ev.agg(F.max("offset")).collect()[0][0] + 1
+    mid = n // 2
+    table.merge(
+        ev.filter(F.col("offset") < mid),
+        stream_id="q", batch_id=0, salt_buckets=4, compact_threshold=None,
+    )
+    v_mid = table.version
+    table.merge(
+        ev.filter(F.col("offset") >= mid),
+        stream_id="q", batch_id=1, salt_buckets=4, compact_threshold=None,
+    )
+    return table, v_mid
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the engine: apply the envelope in two
+    merges, then read the table AS OF the snapshot between them
+    (``LakeTable.load_version`` — Iceberg ``VERSION AS OF`` analogue).
+    The oracle folds only the first half of the log: the old snapshot
+    must be byte-equal to the state the log had produced at that
+    point, proving snapshots are immutable and complete."""
+    from migrator_spark.plans.laketable import LakeTable
+
+    table, v_mid = _cdc_two_batch_table(spark, sf_dir)
+    old = LakeTable.load_version(spark, table.path, v_mid)
+    out = old.read().select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes out of scope
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_TIME_TRAVEL = EV_CTE + """
+, mid AS (SELECT (max(event_id) + 1) // 2 AS m FROM events)
+SELECT key,
+       ev_offset AS last_offset,
+       value AS last_value,
+       props AS last_props
+FROM (
+  SELECT ev.*, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+  FROM ev, mid WHERE ev_offset < mid.m
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED through the engine: the net per-key changes
+    between the two snapshots of :func:`_cdc_two_batch_table`
+    (``LakeTable.changes`` — Delta CDF analogue; each changed bucket
+    diffs in one task with zero cross-bucket exchange). The oracle
+    full-outer-joins the half-log and full-log LWW folds and
+    classifies: insert (absent-or-deleted → live), update (live at
+    both, winning offset moved), delete (live → deleted; payload NULL,
+    offset = the delete event's)."""
+    table, v_mid = _cdc_two_batch_table(spark, sf_dir)
+    ch = table.changes(v_mid)
+    out = ch.select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+        F.col("_change_type").alias("change_type"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes out of scope
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_CHANGES_FEED = EV_CTE + """
+, mid AS (SELECT (max(event_id) + 1) // 2 AS m FROM events)
+, o AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+    FROM ev, mid WHERE ev_offset < mid.m
+  ) WHERE rn = 1
+)
+, n AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+, classified AS (
+  SELECT n.key, n.ev_offset, n.value, n.props,
+         CASE WHEN (o.key IS NULL OR o.op = 'delete') AND n.op <> 'delete'
+                THEN 'insert'
+              WHEN o.op <> 'delete' AND n.op = 'delete'
+                THEN 'delete'
+              WHEN o.op <> 'delete' AND n.op <> 'delete'
+                   AND n.ev_offset <> o.ev_offset
+                THEN 'update'
+         END AS change_type
+  FROM n LEFT JOIN o ON n.key = o.key
+)
+SELECT key,
+       ev_offset AS last_offset,
+       CASE WHEN change_type = 'delete' THEN NULL ELSE value END AS last_value,
+       CASE WHEN change_type = 'delete' THEN NULL ELSE props END AS last_props,
+       change_type
+FROM classified WHERE change_type IS NOT NULL
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified BALANCED sample of the documents
     corpus: every language stratum is downsampled to the size of the
@@ -1298,6 +1428,8 @@ QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_patch_final_state": q_cdc_patch_final_state,
     "cdc_patch_set_null": q_cdc_patch_set_null,
+    "cdc_time_travel": q_cdc_time_travel,
+    "cdc_changes_feed": q_cdc_changes_feed,
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lineage_totals": q_cdc_lineage_totals,
     "cdc_batch_dedup": q_cdc_batch_dedup,
@@ -1336,6 +1468,8 @@ ORACLES = {
     "cdc_apply_full": SQL_CDC_APPLY_FULL,
     "cdc_patch_final_state": SQL_CDC_PATCH_FINAL_STATE,
     "cdc_patch_set_null": SQL_CDC_PATCH_SET_NULL,
+    "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+    "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
     "cdc_lww_final_state": SQL_CDC_LWW_FINAL_STATE,
     "cdc_lineage_totals": SQL_CDC_LINEAGE_TOTALS,
     "cdc_batch_dedup": SQL_CDC_BATCH_DEDUP,

@@ -1,0 +1,246 @@
+"""Change data feed: ``LakeTable.changes(since, to)`` — net per-key
+changes between two snapshot versions (Delta CDF / Iceberg
+incremental-read analogue; reference analogue: the change streams the
+reference TAILS on sources, exposed here on the sink so migrations
+chain). The local strategy diffs each changed bucket in one task with
+zero cross-bucket exchange; the join strategy is the equality witness
+and the oversized-bucket fallback.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import (
+    CHANGE_COL,
+    DELETED_COL,
+    LAST_OFFSET_COL,
+    LakeTable,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("w", T.DoubleType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, k long, v string, w double"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _build(spark, tmp_path, buckets=4):
+    t = LakeTable.create(
+        spark, str(tmp_path / "cdf"), PAYLOAD, ["k"], num_buckets=buckets
+    )
+    # v_base -> v1: keys 0..9 inserted, key 3 deleted
+    t.merge(
+        _env(
+            spark,
+            [(i, "insert", i, f"a{i}", float(i)) for i in range(10)]
+            + [(50, "delete", 3, None, None)],
+        ),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    # v1 -> v2: update k0, delete k1, re-insert k3, insert k20;
+    # k5 replayed at its ORIGINAL offset (no change — winner unmoved)
+    t.merge(
+        _env(
+            spark,
+            [
+                (100, "update", 0, "b0", 0.5),
+                (101, "delete", 1, None, None),
+                (102, "insert", 3, "b3", 3.5),
+                (103, "insert", 20, "b20", 20.5),
+                (5, "insert", 5, "a5", 5.0),
+            ],
+        ),
+        stream_id="s2", batch_id=0, compact_threshold=None,
+    )
+    return t.refresh(), v1, t.version
+
+
+EXPECTED = [
+    (0, "b0", 0.5, 100, "update"),
+    (1, None, None, 101, "delete"),
+    (3, "b3", 3.5, 102, "insert"),
+    (20, "b20", 20.5, 103, "insert"),
+]
+
+
+def test_classification_and_strategy_equality(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    local = t.changes(v1, v2, strategy="local")
+    join = t.changes(v1, v2, strategy="join")
+    assert local.columns == ["k", "v", "w", LAST_OFFSET_COL, CHANGE_COL]
+    assert _rows(local) == EXPECTED
+    assert _rows(join) == EXPECTED
+    # default to_version = current
+    assert _rows(t.changes(v1)) == EXPECTED
+
+
+def test_same_version_and_validation(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    assert t.changes(v2, v2).count() == 0
+    with pytest.raises(ValueError, match="since_version"):
+        t.changes(v2, v1)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        t.changes(v1, v2, strategy="nope")
+    with pytest.raises(FileNotFoundError, match="snapshot v999"):
+        t.changes(v1, 999)
+
+
+def test_feed_from_table_creation(spark, tmp_path):
+    """since = the freshly-created (empty) snapshot → everything live
+    at `to` is an insert; the mid-log delete of k3 never surfaces."""
+    t, v1, v2 = _build(spark, tmp_path)
+    base = 1  # create() publishes v1? derive: first merge made v1
+    base = v1 - 1
+    ch = t.changes(base, v1)
+    got = _rows(ch)
+    assert all(r[-1] == "insert" for r in got)
+    assert [r[0] for r in got] == [i for i in range(10) if i != 3]
+
+
+def test_changes_match_state_diff_property(spark, tmp_path):
+    """Applying the feed to the old state reproduces the new state —
+    the defining property of a change feed."""
+    t, v1, v2 = _build(spark, tmp_path)
+    old = LakeTable.load_version(spark, t.path, v1, io=t.io)
+    ch = t.changes(v1, v2)
+    upserts = ch.filter(F.col(CHANGE_COL) != "delete").drop(CHANGE_COL)
+    dels = ch.filter(F.col(CHANGE_COL) == "delete").select("k")
+    patched = (
+        old.read()
+        .join(ch.select("k"), "k", "left_anti")
+        .unionByName(upserts)
+        .join(dels, "k", "left_anti")
+    )
+    assert _rows(patched) == _rows(t.read())
+
+
+def test_compaction_between_versions_is_not_a_change(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    t.compact()
+    t2 = t.refresh()
+    v3 = t2.version
+    assert v3 > v2
+    # compaction rewrote files (file lists differ → buckets ARE
+    # re-diffed) but the state is identical → empty feed
+    for strat in ("local", "join"):
+        assert t2.changes(v2, v3, strategy=strat).count() == 0
+    # and the v1→v3 feed still equals the v1→v2 feed
+    assert _rows(t2.changes(v1, v3)) == EXPECTED
+
+
+def test_additive_evolution_in_feed(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    evolved = spark.createDataFrame(
+        [(200, "update", 0, "c0", 0.25, "extra")],
+        "offset long, op string, k long, v string, w double, z string",
+    )
+    t.merge(evolved, stream_id="s3", batch_id=0, compact_threshold=None)
+    t2 = t.refresh()
+    ch = t2.changes(v2, t2.version)
+    assert ch.columns == ["k", "v", "w", "z", LAST_OFFSET_COL, CHANGE_COL]
+    assert _rows(ch) == [(0, "c0", 0.25, "extra", 200, "update")]
+    # feed spanning the evolution: old winners null-pad the new column
+    wide = _rows(t2.changes(v1, t2.version, strategy="local"))
+    assert wide == _rows(t2.changes(v1, t2.version, strategy="join"))
+    assert (0, "c0", 0.25, "extra", 200, "update") in wide
+    assert (20, "b20", 20.5, None, 103, "insert") in wide
+
+
+def test_local_plan_zero_cross_bucket_exchange(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        t.changes(v1, v2, strategy="local").explain(True)
+    plan = buf.getvalue()
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_untouched_buckets_are_pruned(spark, tmp_path):
+    """A feed over a single-bucket commit reads only that bucket:
+    the mapInArrow input carries one entry per CHANGED bucket."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), PAYLOAD, ["k"], num_buckets=8
+    )
+    t.merge(
+        _env(spark, [(i, "insert", i, f"a{i}", 1.0) for i in range(64)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    t.merge(
+        _env(spark, [(100, "update", 7, "u7", 7.7)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    t2 = t.refresh()
+    ch = t2.changes(v1)
+    # the second commit wrote one key → its bucket only
+    om, nm = t2._manifest_at(v1), t2.manifest
+    changed = [
+        b for b in nm["buckets"]
+        if set(om["buckets"].get(b, [])) != set(nm["buckets"][b])
+    ]
+    assert len(changed) == 1
+    assert _rows(ch) == [(7, "u7", 7.7, 100, "update")]
+    # local job runs exactly len(changed) tasks (one per bucket entry)
+    assert ch.rdd.getNumPartitions() == 1
+
+
+def test_oversized_bucket_takes_join_fallback(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    t.local_resolve_budget_bytes = 1  # force every bucket over budget
+    try:
+        hybrid = t.changes(v1, v2)  # local strategy, all big → join path
+        assert _rows(hybrid) == EXPECTED
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            t.changes(v1, v2).explain(True)
+        assert "MapInArrow" not in buf.getvalue()  # diff went via join
+    finally:
+        del t.local_resolve_budget_bytes
+
+
+def test_gcd_tombstone_still_reports_delete(spark, tmp_path):
+    """A tombstone GC'd between the two versions: the key vanishes
+    from the new file set entirely — the feed must still classify the
+    old-live key as a delete (offset falls back to the old winner's,
+    payload NULL)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "g"), PAYLOAD, ["k"], num_buckets=2
+    )
+    t.merge(
+        _env(spark, [(i, "insert", i, f"a{i}", 1.0) for i in range(6)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    t.merge(
+        _env(spark, [(10, "delete", 2, None, None)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    t.compact_tombstones(min_offset=1000)  # expire every tombstone
+    t2 = t.refresh()
+    for strat in ("local", "join"):
+        got = _rows(t2.changes(v1, strategy=strat))
+        assert len(got) == 1
+        k, v, w, off, ct = got[0]
+        assert (k, v, w, ct) == (2, None, None, "delete")
