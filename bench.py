@@ -494,6 +494,9 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
     # read it is compared against.
     cdf = {}
     try:
+        from pyspark.sql import functions as F
+
+        from migrator_spark.functions.transforms import default_cdc_transform
         from migrator_spark.plans.laketable import LakeTable as _LT
 
         ft = _LT.load(spark, os.path.join(BENCH_ROOT, "table-full"))
@@ -505,6 +508,29 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         cdf["full_read_sec"] = round(time.monotonic() - t0, 3)
         cdf["changes_rows"] = int(n_changes)
         cdf["full_rows"] = int(full_rows)
+        # Sparse probe — the O(changed buckets) claim, measured: a
+        # one-key commit touches ONE of the table's buckets, so its
+        # feed must cost ~1/num_buckets of the dense feed above (at
+        # 100-TB bucket counts this is the rescan-vs-increment gap).
+        one = (
+            spark.read.parquet(log_dir)
+            .filter(F.col("op") != "delete")  # guarantee a visible change
+            .orderBy(F.desc("offset")).limit(1)
+            .withColumn("offset", F.col("offset") + 1_000_000)
+        )
+        ft.merge(one, stream_id="cdf-sparse", batch_id=0,
+                 transform=default_cdc_transform, compact_threshold=None)
+        v_sparse = ft.version
+        om = ft._manifest_at(v_sparse - 1)["buckets"]
+        nm = ft.manifest["buckets"]
+        cdf["sparse_changed_buckets"] = sum(
+            1 for b in set(om) | set(nm)
+            if set(om.get(b, [])) != set(nm.get(b, []))
+        )
+        cdf["num_buckets"] = ft.num_buckets
+        t0 = time.monotonic()
+        cdf["sparse_changes_rows"] = int(ft.changes(v_sparse - 1).count())
+        cdf["sparse_changes_sec"] = round(time.monotonic() - t0, 3)
     except Exception as e:  # never fail the record over the extra probe
         cdf["error"] = str(e)[-200:]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

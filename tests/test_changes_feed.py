@@ -220,6 +220,42 @@ def test_oversized_bucket_takes_join_fallback(spark, tmp_path):
         del t.local_resolve_budget_bytes
 
 
+def test_changes_over_patch_mode_table(spark, tmp_path):
+    """The feed is read-side only — it must be correct over a table
+    written in ``update_mode="patch"`` (sparse $set rows are folded to
+    FULL rows by the write-side read-modify join, so the feed's update
+    payload is the post-merge row, not the sparse patch)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pm"), PAYLOAD, ["k"], num_buckets=4
+    )
+    t.merge(
+        _env(spark, [(0, "insert", 1, "a", 1.0), (1, "insert", 2, "b", 2.0)]),
+        stream_id="s", batch_id=0, update_mode="patch",
+        compact_threshold=None,
+    )
+    v1 = t.version
+    t.merge(
+        _env(
+            spark,
+            [
+                (10, "update", 1, None, 9.0),   # partial: v untouched
+                (11, "delete", 2, None, None),
+                (12, "insert", 3, "c", 3.0),
+            ],
+        ),
+        stream_id="s", batch_id=1, update_mode="patch",
+        compact_threshold=None,
+    )
+    t2 = t.refresh()
+    for strat in ("local", "join"):
+        got = _rows(t2.changes(v1, strategy=strat))
+        assert got == [
+            (1, "a", 9.0, 10, "update"),   # merged row, not the patch
+            (2, None, None, 11, "delete"),
+            (3, "c", 3.0, 12, "insert"),
+        ]
+
+
 def test_gcd_tombstone_still_reports_delete(spark, tmp_path):
     """A tombstone GC'd between the two versions: the key vanishes
     from the new file set entirely — the feed must still classify the
