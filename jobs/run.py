@@ -127,6 +127,23 @@ def main(argv: list[str] | None = None) -> int:
                          "print counts")
     ch.add_argument("--cores", type=int, default=None)
 
+    rep = sub.add_parser(
+        "replicate",
+        help="one replication increment src-table -> dst-table over the "
+             "change feed (cursor = the destination's committed (stream, "
+             "src-version) record; initial call = snapshot sync; re-run "
+             "after source commits to stay current)",
+    )
+    rep.add_argument("--src-table", required=True)
+    rep.add_argument("--dst-table", required=True)
+    rep.add_argument("--create-dst", action="store_true",
+                     help="create the destination with the source's "
+                          "schema/keys if it does not exist")
+    rep.add_argument("--stream-id", default=None,
+                     help="override the replication stream identity "
+                          "(default replicate:<src basename>)")
+    rep.add_argument("--cores", type=int, default=None)
+
     imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
     imp.add_argument("--table", required=True)
     imp.add_argument("--src", required=True)
@@ -233,6 +250,35 @@ def main(argv: list[str] | None = None) -> int:
             "by_type": by_type,
             "dest": args.dest,
         }))
+        return 0
+
+    if args.mode == "replicate":
+        from pyspark.sql import types as _T
+
+        from migrator_spark.plans.laketable import (
+            DELETED_COL, LAST_OFFSET_COL, LakeTable,
+        )
+        from migrator_spark.plans.replicate import replicate
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-replicate", cores=args.cores)
+        src = LakeTable.load(spark, args.src_table)
+        if args.create_dst:
+            payload = _T.StructType(
+                [
+                    f for f in src.schema.fields
+                    if f.name not in (LAST_OFFSET_COL, DELETED_COL)
+                ]
+            )
+            dst = LakeTable.create(
+                spark, args.dst_table, payload, list(src.key_cols),
+                num_buckets=src.num_buckets, if_not_exists=True,
+            )
+        else:
+            dst = LakeTable.load(spark, args.dst_table)
+        res = replicate(src, dst, stream_id=args.stream_id)
+        res["dst_rows_estimate"] = dst.refresh().count(estimate=True)
+        print(json.dumps(res))
         return 0
 
     if args.mode == "import":

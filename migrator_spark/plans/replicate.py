@@ -1,0 +1,116 @@
+"""Table-to-table incremental replication composed from the change
+data feed — the reference's core pipeline (bulk migrate, then
+continuously replicate change events into a second store;
+pipelines/base.go migration+replication phases) expressed natively on
+the engine's own primitives:
+
+- **cursor** = the destination's exactly-once ``(stream, batch)``
+  record: ``dst.manifest["committed"][stream_id]`` holds the highest
+  SOURCE SNAPSHOT VERSION already applied, so the replication state
+  needs no side-channel files, is committed atomically WITH the data
+  it describes, and a replayed increment is skipped by the same guard
+  that dedupes every other stream (batch_id = src version, monotonic).
+- **initial sync** = the source's current state upserted with its own
+  ``_last_offset`` stamps, PLUS deletes of any destination keys the
+  source no longer has (so the same path doubles as a full RESYNC
+  that converges even after missed deletes).
+- **increment** = ``src.changes(cursor, head)`` mapped back to the
+  merge envelope (the feed's ``_change_type`` IS the envelope op;
+  delete rows carry keys + the tombstone offset). O(changed buckets)
+  read on the source, one merge on the destination.
+
+A chain ``A -> B -> C`` therefore replicates with per-hop exactly-once
+and no rescans — migrations compose (the reference chains a migration
+into a replication the same way, with its own per-pipeline state
+docs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from migrator_spark.plans.laketable import (
+    CHANGE_COL,
+    DELETED_COL,
+    LAST_OFFSET_COL,
+    LakeTable,
+)
+
+
+def default_stream_id(src: LakeTable) -> str:
+    return f"replicate:{os.path.basename(src.path.rstrip('/'))}"
+
+
+def _payload_cols(table: LakeTable) -> list[str]:
+    return [
+        f.name
+        for f in table.schema.fields
+        if f.name not in (LAST_OFFSET_COL, DELETED_COL)
+    ]
+
+
+def replicate(src: LakeTable, dst: LakeTable,
+              stream_id: str | None = None, **merge_kwargs) -> dict:
+    """Apply one replication increment ``src -> dst``; see module
+    docstring. Returns ``{"mode", "from_version", "to_version",
+    "skipped"}``. Call again after the source commits to stay
+    current; a re-call with no new source version is a no-op (the
+    committed-batch guard skips it). If the cursor's source snapshot
+    has been vacuumed (``expire_snapshots``), falls back to a full
+    resync — correct even for deletes missed in the gap: the sync
+    path anti-joins the destination's keys against the source's, and
+    each synthetic delete is stamped ``dst_offset + 1`` per key —
+    above the stale row it must beat, and never above the real
+    (vacuumed) delete's offset, so later real events still win.
+    """
+    sid = stream_id or default_stream_id(src)
+    if list(dst.key_cols) != list(src.key_cols):
+        raise ValueError(
+            f"key mismatch: src {src.key_cols} vs dst {dst.key_cols}"
+        )
+    head = src.version
+    cursor = int(dst.manifest["committed"].get(sid, -1))
+    if cursor >= head:
+        return {"mode": "noop", "from_version": cursor, "to_version": head,
+                "skipped": True}
+    pay = _payload_cols(src)
+    key_cols = list(src.key_cols)
+    env = None
+    mode = "snapshot"
+    if cursor >= 0:
+        try:
+            feed = src.changes(cursor, head)
+            env = feed.select(
+                F.col(LAST_OFFSET_COL).alias("offset"),
+                F.col(CHANGE_COL).alias("op"),
+                *[F.col(c) for c in pay],
+            )
+            mode = "incremental"
+        except FileNotFoundError:
+            env = None  # cursor snapshot vacuumed on src -> full resync
+    if env is None:
+        cur = src.read()
+        ups = cur.select(
+            F.col(LAST_OFFSET_COL).alias("offset"),
+            F.lit("update").alias("op"),
+            *[F.col(c) for c in pay],
+        )
+        gone = (
+            dst.read(columns=key_cols + [LAST_OFFSET_COL])
+            .join(cur.select(*key_cols), on=key_cols, how="left_anti")
+        )
+        dels = gone.select(
+            (F.col(LAST_OFFSET_COL) + 1).cast("long").alias("offset"),
+            F.lit("delete").alias("op"),
+            *[
+                F.col(c) if c in key_cols
+                else F.lit(None).cast(src.schema[c].dataType).alias(c)
+                for c in pay
+            ],
+        )
+        env = ups.unionByName(dels)
+    dst.merge(env, stream_id=sid, batch_id=head, **merge_kwargs)
+    return {"mode": mode, "from_version": cursor, "to_version": head,
+            "skipped": False}

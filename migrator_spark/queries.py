@@ -1131,6 +1131,54 @@ FROM (
 """
 
 
+def q_cdc_replicate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLICATION CHAIN through the engine: apply the envelope to
+    table A in two merges; after the FIRST, snapshot-sync A -> B
+    (``plans/replicate.py``); after the second, apply the incremental
+    change feed A -> B (cursor = B's committed (stream, src-version)
+    record). Read back B. The oracle is the plain full-log LWW fold —
+    B must equal what A itself would read, proving initial sync +
+    incremental feed + exactly-once cursor compose into a lossless
+    pipeline (the reference's migrate-then-replicate)."""
+    from migrator_spark.plans.laketable import LakeTable
+    from migrator_spark.plans.replicate import replicate
+
+    ev = envelope(spark, sf_dir).withColumnRenamed("ev_offset", "offset")
+    payload = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-repl-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    a = LakeTable.create(spark, tmp + "/a", payload, ["key"], num_buckets=8)
+    b = LakeTable.create(spark, tmp + "/b", payload, ["key"], num_buckets=8)
+    # TEST-HARNESS ONLY driver max() — mirrors q_cdc_apply_full
+    n = ev.agg(F.max("offset")).collect()[0][0] + 1
+    mid = n // 2
+    a.merge(ev.filter(F.col("offset") < mid), stream_id="q", batch_id=0,
+            salt_buckets=4, compact_threshold=None)
+    replicate(a, b)                       # snapshot sync
+    a.merge(ev.filter(F.col("offset") >= mid), stream_id="q", batch_id=1,
+            salt_buckets=4, compact_threshold=None)
+    replicate(a, b.refresh())             # incremental feed
+    out = b.refresh().read().select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes out of scope
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_REPLICATE_CHAIN = SQL_CDC_LWW_FINAL_STATE
+
+
 def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED through the engine: the net per-key changes
     between the two snapshots of :func:`_cdc_two_batch_table`
@@ -1430,6 +1478,7 @@ QUERIES = {
     "cdc_patch_set_null": q_cdc_patch_set_null,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_changes_feed": q_cdc_changes_feed,
+    "cdc_replicate_chain": q_cdc_replicate_chain,
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lineage_totals": q_cdc_lineage_totals,
     "cdc_batch_dedup": q_cdc_batch_dedup,
@@ -1470,6 +1519,7 @@ ORACLES = {
     "cdc_patch_set_null": SQL_CDC_PATCH_SET_NULL,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
+    "cdc_replicate_chain": SQL_CDC_REPLICATE_CHAIN,
     "cdc_lww_final_state": SQL_CDC_LWW_FINAL_STATE,
     "cdc_lineage_totals": SQL_CDC_LINEAGE_TOTALS,
     "cdc_batch_dedup": SQL_CDC_BATCH_DEDUP,

@@ -1,0 +1,174 @@
+"""Table-to-table replication composed from the change feed
+(plans/replicate.py): initial snapshot sync, incremental feeds with
+the exactly-once cursor riding the (stream, batch) records, vacuumed-
+cursor full-resync fallback (including missed deletes), additive
+evolution, and an A -> B -> C chain. Reference analogue: the
+migrate-then-replicate pipeline (pipelines/base.go)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.plans.replicate import replicate
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, "offset long, op string, k long, v string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, path):
+    return LakeTable.create(spark, str(path), PAYLOAD, ["k"], num_buckets=4)
+
+
+def test_initial_then_incremental_replication(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(
+        _env(spark, [(i, "insert", i, f"x{i}") for i in range(12)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    r1 = replicate(a, b)
+    assert (r1["mode"], r1["skipped"]) == ("snapshot", False)
+    b = b.refresh()
+    assert _rows(b.read()) == _rows(a.read())
+    # incremental: update, delete, insert on the source
+    a.merge(
+        _env(spark, [(20, "update", 1, "y1"), (21, "delete", 2, None),
+                     (22, "insert", 50, "x50")]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    a = a.refresh()
+    r2 = replicate(a, b.refresh())
+    assert r2["mode"] == "incremental"
+    b = b.refresh()
+    assert _rows(b.read()) == _rows(a.read())
+    # idempotent: no new source version -> noop
+    r3 = replicate(a, b)
+    assert r3["skipped"] is True
+
+
+def test_replayed_increment_is_skipped_by_batch_guard(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(_env(spark, [(0, "insert", 1, "x")]), stream_id="s", batch_id=0,
+            compact_threshold=None)
+    replicate(a, b)
+    b = b.refresh()
+    v = b.version
+    # a second call with the SAME source head must not commit again
+    replicate(a, b)
+    assert b.refresh().version == v
+
+
+def test_vacuumed_cursor_falls_back_to_resync_with_deletes(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(
+        _env(spark, [(i, "insert", i, f"x{i}") for i in range(8)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    replicate(a, b)
+    # source moves on: delete k3, update k0 — then compact + vacuum so
+    # the replication cursor's snapshot AND the tombstone are gone
+    a.merge(
+        _env(spark, [(10, "delete", 3, None), (11, "update", 0, "z0")]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    a.compact_tombstones(min_offset=100)
+    a = a.refresh()
+    a.expire_snapshots(keep=1, orphan_grace_sec=0)
+    a = a.refresh()
+    res = replicate(a, b.refresh())
+    assert res["mode"] == "snapshot"  # fell back
+    b = b.refresh()
+    assert _rows(b.read()) == _rows(a.read())  # k3 gone in BOTH
+    assert not any(r[0] == 3 for r in b.read().collect())
+
+
+def test_resync_delete_stamp_does_not_mask_future_events(spark, tmp_path):
+    """The synthetic delete is stamped dst_offset+1 per key — a LATER
+    real event for that key (offset strictly greater) must still win."""
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(_env(spark, [(5, "insert", 1, "x")]), stream_id="s", batch_id=0,
+            compact_threshold=None)
+    replicate(a, b)
+    a.merge(_env(spark, [(6, "delete", 1, None)]), stream_id="s", batch_id=1,
+            compact_threshold=None)
+    a.compact_tombstones(min_offset=100)
+    a = a.refresh()
+    a.expire_snapshots(keep=1, orphan_grace_sec=0)
+    a = a.refresh()
+    replicate(a, b.refresh())  # resync: synthetic delete at offset 6
+    a.merge(_env(spark, [(7, "insert", 1, "back")]), stream_id="s",
+            batch_id=2, compact_threshold=None)
+    a = a.refresh()
+    b = b.refresh()
+    replicate(a, b)
+    assert _rows(b.refresh().read()) == _rows(a.read())
+
+
+def test_replication_chain_a_b_c(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    c = _mk(spark, tmp_path / "c")
+    a.merge(
+        _env(spark, [(i, "insert", i, f"x{i}") for i in range(10)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    replicate(a, b)
+    replicate(b.refresh(), c)
+    a.merge(
+        _env(spark, [(20, "update", 4, "y4"), (21, "delete", 5, None)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    a = a.refresh()
+    replicate(a, b.refresh())
+    b = b.refresh()
+    replicate(b, c.refresh())
+    c = c.refresh()
+    assert _rows(c.read()) == _rows(a.read())
+    assert _rows(b.read()) == _rows(a.read())
+
+
+def test_additive_evolution_replicates(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(_env(spark, [(0, "insert", 1, "x")]), stream_id="s", batch_id=0,
+            compact_threshold=None)
+    replicate(a, b)
+    evolved = spark.createDataFrame(
+        [(1, "update", 1, "x2", 4.5)],
+        "offset long, op string, k long, v string, w double",
+    )
+    a.merge(evolved, stream_id="s", batch_id=1, compact_threshold=None)
+    a = a.refresh()
+    replicate(a, b.refresh())
+    b = b.refresh()
+    assert "w" in [f.name for f in b.schema.fields]
+    assert _rows(b.read()) == _rows(a.read())
+
+
+def test_key_mismatch_rejected(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    other = LakeTable.create(
+        spark, str(tmp_path / "o"),
+        T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]),
+        ["id"], num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="key mismatch"):
+        replicate(a, other)
