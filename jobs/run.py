@@ -142,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--stream-id", default=None,
                      help="override the replication stream identity "
                           "(default replicate:<src basename>)")
+    rep.add_argument("--follow", action="store_true",
+                     help="continuous mode: poll the source head and apply "
+                          "every new increment (reference's replication "
+                          "phase at the table level)")
+    rep.add_argument("--poll", type=float, default=5.0,
+                     help="seconds between head polls when caught up")
+    rep.add_argument("--timeout", type=float, default=None,
+                     help="stop --follow after this many seconds")
     rep.add_argument("--cores", type=int, default=None)
 
     imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
@@ -159,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--format", default="csv", choices=["csv", "parquet", "jsonl"])
     exp.add_argument("--resolve", default=None, choices=["local", "shuffle"],
                      help="LWW resolver for the export read (see count --resolve)")
+    exp.add_argument("--columns", default=None,
+                     help="comma-separated projection: export only these "
+                          "columns (pushed into the parquet scan — a slim "
+                          "export of a wide table never decodes the payload)")
     exp.add_argument("--cores", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -276,7 +288,15 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             dst = LakeTable.load(spark, args.dst_table)
-        res = replicate(src, dst, stream_id=args.stream_id)
+        if args.follow:
+            from migrator_spark.plans.replicate import replicate_follow
+
+            res = replicate_follow(
+                src, dst, stream_id=args.stream_id,
+                poll_sec=args.poll, timeout_sec=args.timeout,
+            )
+        else:
+            res = replicate(src, dst, stream_id=args.stream_id)
         res["dst_rows_estimate"] = dst.refresh().count(estimate=True)
         print(json.dumps(res))
         return 0
@@ -296,8 +316,9 @@ def main(argv: list[str] | None = None) -> int:
         from migrator_spark.sources.files import export_table
 
         spark = get_spark("migrator-export", cores=args.cores)
+        cols = args.columns.split(",") if args.columns else None
         n_rows = export_table(spark, args.table, args.dest, fmt=args.format,
-                              resolve=args.resolve)
+                              resolve=args.resolve, columns=cols)
         print(json.dumps({"exported_rows": n_rows, "dest": args.dest, "format": args.format}))
         return 0
 

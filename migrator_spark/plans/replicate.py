@@ -35,6 +35,7 @@ from migrator_spark.plans.laketable import (
     CHANGE_COL,
     DELETED_COL,
     LAST_OFFSET_COL,
+    ConcurrentWriteError,
     LakeTable,
 )
 
@@ -111,6 +112,55 @@ def replicate(src: LakeTable, dst: LakeTable,
             ],
         )
         env = ups.unionByName(dels)
-    dst.merge(env, stream_id=sid, batch_id=head, **merge_kwargs)
+    try:
+        dst.merge(env, stream_id=sid, batch_id=head, **merge_kwargs)
+    except ConcurrentWriteError:
+        # a concurrent replicator (or dst maintenance) won the version
+        # race — if it already committed this very increment, that is
+        # success, not failure (the batch guard makes the outcome
+        # identical); anything else propagates for the caller's retry
+        fresh = dst.refresh()
+        if int(fresh.manifest["committed"].get(sid, -1)) >= head:
+            return {"mode": mode, "from_version": cursor,
+                    "to_version": head, "skipped": True,
+                    "lost_race_to_peer": True}
+        raise
     return {"mode": mode, "from_version": cursor, "to_version": head,
             "skipped": False}
+
+
+def replicate_follow(src: LakeTable, dst: LakeTable,
+                     stream_id: str | None = None,
+                     poll_sec: float = 5.0,
+                     timeout_sec: float | None = None,
+                     max_increments: int | None = None,
+                     **merge_kwargs) -> dict:
+    """CONTINUOUS replication: poll the source head and apply every new
+    increment — the table-level analogue of the reference's continuous
+    replication phase (pipelines watch loop). Each iteration reloads
+    both manifests (one small JSON read per table), applies
+    :func:`replicate` if the source moved, and sleeps ``poll_sec``
+    only when caught up (a lagging destination drains at full speed).
+    Stops after ``timeout_sec`` (None = forever) or once
+    ``max_increments`` non-skipped increments have been applied.
+    Returns ``{"increments", "polls", "last"}``."""
+    import time
+
+    t0 = time.monotonic()
+    applied = 0
+    polls = 0
+    last: dict = {}
+    while True:
+        src = src.refresh()
+        dst = dst.refresh()
+        last = replicate(src, dst, stream_id=stream_id, **merge_kwargs)
+        polls += 1
+        if not last["skipped"]:
+            applied += 1
+            if max_increments is not None and applied >= max_increments:
+                break
+            continue  # drained one increment: immediately re-check
+        if timeout_sec is not None and time.monotonic() - t0 >= timeout_sec:
+            break
+        time.sleep(poll_sec)
+    return {"increments": applied, "polls": polls, "last": last}

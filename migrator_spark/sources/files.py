@@ -294,20 +294,23 @@ def import_into_table(
 
 def export_table(
     spark: SparkSession, table_path: str, dest_path: str, fmt: str = "csv",
-    resolve: str | None = None,
+    resolve: str | None = None, columns: list[str] | None = None,
 ) -> int:
     """Reference ``Export``: paged Fetch loop → file. Spark-first the
     'paging' is just the parallel write. The returned row count rides
     the write action as an ``observe()`` metric — ONE LWW resolve, not
     a write plus a full re-resolving count job. ``resolve`` passes
     through to :meth:`LakeTable.read` (None = budget-guarded
-    bucket-local default; "shuffle" = the CLI escape hatch)."""
+    bucket-local default; "shuffle" = the CLI escape hatch).
+    ``columns`` projects the export through ``read``'s pushdown — the
+    resolver decodes only the requested columns (plus keys/offset), so
+    a two-column export of a wide table never touches the payload."""
     from pyspark.sql import Observation
 
     _, write = FORMATS[fmt]
     obs = Observation()
-    df = LakeTable.load(spark, table_path).read(resolve=resolve).observe(
-        obs, F.count(F.lit(1)).alias("n")
-    )
+    df = LakeTable.load(spark, table_path).read(
+        resolve=resolve, columns=columns
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
     write(df, dest_path)
     return int(obs.get["n"])

@@ -110,6 +110,23 @@ def test_accurate_count_unchanged_by_slim_projection(spark, tmp_path):
     assert t.count(buckets=[0, 1]) == t.read(buckets=[0, 1]).count()
 
 
+def test_projected_export(spark, tmp_path):
+    """export_table(columns=[...]) rides the pushdown: the written
+    file carries exactly the projection, values equal to a full-read
+    select."""
+    from migrator_spark.sources.files import export_table
+
+    t = _build(spark, tmp_path)
+    dest = str(tmp_path / "out.parquet")
+    n = export_table(
+        spark, t.path, dest, fmt="parquet", columns=["path", "lang"]
+    )
+    got = spark.read.parquet(dest)
+    assert got.columns == ["path", "lang"]
+    assert n == t.read().count()
+    assert _vals(got) == _vals(t.read().select("path", "lang"))
+
+
 def test_emit_pass_reads_only_projected_columns(tmp_path, monkeypatch):
     """The structural claim, asserted at the parquet reader: with a
     narrowed schema the emit pass passes exactly the narrow column set

@@ -160,6 +160,66 @@ def test_additive_evolution_replicates(spark, tmp_path):
     assert _rows(b.read()) == _rows(a.read())
 
 
+def test_follow_catches_live_writer(spark, tmp_path):
+    """Continuous mode: a writer commits to the source WHILE
+    replicate_follow polls — the destination converges without missing
+    or duplicating an increment."""
+    import threading
+    import time
+
+    from migrator_spark.plans.replicate import replicate_follow
+
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(
+        _env(spark, [(i, "insert", i, f"x{i}") for i in range(6)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+
+    def writer():
+        t = LakeTable.load(spark, str(tmp_path / "a"))
+        t.merge(_env(spark, [(10, "update", 1, "y1")]), stream_id="s",
+                batch_id=1, compact_threshold=None)
+        time.sleep(0.5)
+        t.merge(_env(spark, [(11, "delete", 2, None),
+                             (12, "insert", 9, "x9")]),
+                stream_id="s", batch_id=2, compact_threshold=None)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    res = replicate_follow(a, b, poll_sec=0.3, timeout_sec=25)
+    th.join()
+    # one final pass in case the last commit landed after the timeout
+    a = LakeTable.load(spark, str(tmp_path / "a"))
+    b = LakeTable.load(spark, str(tmp_path / "b"))
+    from migrator_spark.plans.replicate import replicate
+    replicate(a, b)
+    assert res["increments"] >= 1
+    assert _rows(LakeTable.load(spark, str(tmp_path / "b")).read()) == _rows(
+        a.read()
+    )
+
+
+def test_lost_race_to_peer_is_success(spark, tmp_path):
+    """Two replicators race the same increment: the loser's merge hits
+    the snapshot CAS, sees the peer already committed its (stream,
+    src-version) batch, and reports skipped — not an error."""
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    a.merge(_env(spark, [(0, "insert", 1, "x")]), stream_id="s", batch_id=0,
+            compact_threshold=None)
+    b_stale = LakeTable.load(spark, str(tmp_path / "b"))
+    replicate(a, b)  # winner commits on the fresh handle
+    # loser still holds the pre-replication manifest: its merge targets
+    # the version the winner just took
+    res = replicate(a, b_stale)
+    assert res["skipped"] is True
+    assert res.get("lost_race_to_peer") is True
+    assert _rows(LakeTable.load(spark, str(tmp_path / "b")).read()) == _rows(
+        a.read()
+    )
+
+
 def test_key_mismatch_rejected(spark, tmp_path):
     a = _mk(spark, tmp_path / "a")
     other = LakeTable.create(
