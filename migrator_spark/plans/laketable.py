@@ -367,9 +367,20 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
                 np.asarray(small.column(k).to_pandas())
                 for k in key_names
             ]
+            # NULL-SAFE key equality: pandas folds surface a None
+            # group key as NaN after reset_index while the file
+            # decodes it as None — plain == calls that a mismatch
+            # and silently drops every NULL-keyed winner. NULL is a
+            # legal key value for view-maintenance group keys
+            # (GROUP BY semantics), so compare SQL-<=>-style.
+            import pandas as _pd
+
+            def _keq(a, b):
+                return (a == b) | (_pd.isna(a) & _pd.isna(b))
+
             ok = np.ones(len(crows), dtype=bool)
             for ki in range(len(key_names)):
-                ok &= keymats[ki] == wkeys[ki][cpos]
+                ok &= _keq(keymats[ki], wkeys[ki][cpos])
             # slow path: scan the equal-offset run for the
             # entry whose keys match this row
             for i in np.nonzero((hi - lo) > 1)[0]:
@@ -377,7 +388,8 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
                 for j in range(lo[i], hi[i]):
                     p = worder[j]
                     if all(
-                        keymats[ki][i] == wkeys[ki][p]
+                        _keq(keymats[ki][i : i + 1],
+                             wkeys[ki][p : p + 1])[0]
                         for ki in range(len(key_names))
                     ):
                         cpos[i] = p
@@ -423,7 +435,8 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
 
 def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                                offset_col: str, deleted_col: str,
-                               change_field, filesystem=None):
+                               change_field, filesystem=None,
+                               image: str = "post"):
     """Task function for the bucket-local CHANGE FEED (``mapInArrow``).
 
     Each input row is ``(bucket, old_files, new_files)`` — one bucket's
@@ -449,6 +462,17 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
 
     ``emit_schema`` is the to-version arrow schema WITHOUT the deleted
     column; every output batch is ``emit_schema`` + ``change_field``.
+
+    ``image="both"`` (Delta CDF parity) additionally emits each
+    changed key's PRE-image — the row as it was at the since-version —
+    via a second :func:`_emit_rows` pass over the OLD file list
+    restricted to the old winners of updated/deleted keys: updates
+    become an ``update_preimage``/``update_postimage`` pair and
+    deletes carry the deleted row's payload (old ``_last_offset``
+    stamp) instead of NULLs. Columns added between the versions are
+    NULL on pre-image rows (``_emit_rows``'s additive-evolution pad).
+    Still one task per changed bucket, zero exchange; the extra cost
+    is exactly the pre-image decode over old files.
     """
 
     def resolve(batches):
@@ -530,8 +554,9 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                     worder = np.argsort(woff, kind="stable")
                     wsorted = woff[worder]
                     wkeys = [emitsel[k].to_numpy() for k in key_names]
+                    upd_lbl = "update_postimage" if image == "both" else "update"
                     labels = np.where(
-                        ins.loc[emitsel.index].to_numpy(), "insert", "update"
+                        ins.loc[emitsel.index].to_numpy(), "insert", upd_lbl
                     ).astype(object)
                     emitted = np.zeros(len(emitsel), dtype=bool)
                     yield from _emit_rows(
@@ -539,6 +564,27 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                         offset_col, wsorted, worder, wkeys, emitted, None,
                         filesystem, extra_fields=[(change_field, labels)],
                     )
+                if image == "both":
+                    # PRE-image pass: the old winners of updated and
+                    # deleted keys, decoded from the OLD file list
+                    presel = m[upd | dele]
+                    if len(presel):
+                        poff = presel[off_o].to_numpy(np.int64)
+                        porder = np.argsort(poff, kind="stable")
+                        psorted = poff[porder]
+                        pkeys = [presel[k].to_numpy() for k in key_names]
+                        plabels = np.where(
+                            dele.loc[presel.index].to_numpy(),
+                            "delete", "update_preimage",
+                        ).astype(object)
+                        pemitted = np.zeros(len(presel), dtype=bool)
+                        yield from _emit_rows(
+                            list(old_files), 0, 1, emit_schema, key_names,
+                            offset_col, psorted, porder, pkeys, pemitted,
+                            None, filesystem,
+                            extra_fields=[(change_field, plabels)],
+                        )
+                    continue
                 delsel = m[dele]
                 if len(delsel):
                     # tombstone offset when the delete is still
@@ -746,9 +792,21 @@ class LakeTable:
         wmax = raw.groupBy(*self.key_cols).agg(
             F.max(LAST_OFFSET_COL).alias(LAST_OFFSET_COL)
         )
-        return raw.join(
-            wmax, on=self.key_cols + [LAST_OFFSET_COL], how="inner"
-        ).dropDuplicates(self.key_cols)
+        # NULL-SAFE key join (<=>): NULL is a legal key value (view
+        # group keys) — a plain equality join drops NULL-keyed rows.
+        # EqualNullSafe is still a hash-joinable equi-key, so the plan
+        # shape is unchanged.
+        r, w = raw.alias("_lww_r"), wmax.alias("_lww_w")
+        cond = F.col(f"_lww_r.{LAST_OFFSET_COL}") == F.col(
+            f"_lww_w.{LAST_OFFSET_COL}"
+        )
+        for k in self.key_cols:
+            cond = cond & F.col(f"_lww_r.{k}").eqNullSafe(F.col(f"_lww_w.{k}"))
+        return (
+            r.join(w, cond, "inner")
+            .select("_lww_r.*")
+            .dropDuplicates(self.key_cols)
+        )
 
     def _bucket_local_resolved(
         self, buckets: list[int] | None = None, with_bucket_col: bool = False,
@@ -987,7 +1045,8 @@ class LakeTable:
             ) from e
 
     def changes(self, since_version: int, to_version: int | None = None,
-                strategy: str | None = None) -> DataFrame:
+                strategy: str | None = None,
+                image: str = "post") -> DataFrame:
         """CHANGE DATA FEED: the net per-key changes between two
         snapshot versions (Delta CDF / Iceberg incremental-read
         analogue) — the incremental-consumption contract that lets a
@@ -1018,6 +1077,18 @@ class LakeTable:
         formulation (the equality witness, and the spill-capable
         fallback the per-bucket byte-budget guard routes oversized
         buckets through). ``SPARK_GRAFT_CHANGES`` sets the default.
+
+        ``image``: "post" (default) is the net-changes contract above.
+        "both" is full Delta-CDF parity for consumers that must
+        RETRACT old contributions (incremental view maintenance,
+        downstream differential pipelines): updates emit an
+        ``update_preimage``/``update_postimage`` row PAIR (the old row
+        with its old ``_last_offset``, then the new row), and delete
+        rows carry the deleted row's payload and old offset instead of
+        NULLs. Pre-image rows NULL-pad columns added between the
+        versions. Requires the since-version's files to still exist
+        (same retention contract as the feed itself — both versions'
+        snapshots must not be expired).
         """
         to_version = self.version if to_version is None else int(to_version)
         since_version = int(since_version)
@@ -1029,6 +1100,8 @@ class LakeTable:
             strategy = os.environ.get("SPARK_GRAFT_CHANGES", "local")
         if strategy not in ("local", "join"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if image not in ("post", "both"):
+            raise ValueError(f"unknown image {image!r}")
         old_m = self._manifest_at(since_version)
         new_m = self._manifest_at(to_version)
         if old_m["num_buckets"] != new_m["num_buckets"]:
@@ -1053,17 +1126,21 @@ class LakeTable:
         if not cand:
             return self.spark.createDataFrame([], out_schema)
         if strategy == "join":
-            return self._changes_join(old_m, new_t, cand, out_schema)
+            return self._changes_join(old_m, new_t, cand, out_schema, image)
         # hybrid: oversized buckets (by the TO-version manifest's byte
         # totals) take the spill-capable join path, like _resolved
         small, big = new_t._split_by_budget(cand)
         parts: list[DataFrame] = []
         if small or not big:
             parts.append(
-                self._changes_local(old_m, new_m, new_schema, small, out_schema)
+                self._changes_local(
+                    old_m, new_m, new_schema, small, out_schema, image
+                )
             )
         if big:
-            parts.append(self._changes_join(old_m, new_t, big, out_schema))
+            parts.append(
+                self._changes_join(old_m, new_t, big, out_schema, image)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1071,7 +1148,8 @@ class LakeTable:
 
     def _changes_local(self, old_m: dict, new_m: dict,
                        new_schema: T.StructType, buckets: list[int],
-                       out_schema: T.StructType) -> DataFrame:
+                       out_schema: T.StructType,
+                       image: str = "post") -> DataFrame:
         """Bucket-local diff: one task per changed bucket, zero
         cross-bucket exchange (see :meth:`changes`)."""
         import pyarrow as pa
@@ -1102,6 +1180,7 @@ class LakeTable:
             DELETED_COL,
             pa.field(CHANGE_COL, pa.string()),
             filesystem=self.io.arrow_fs(),
+            image=image,
         )
         rdd = self.spark.sparkContext.parallelize(entries, numSlices=len(entries))
         files_df = self.spark.createDataFrame(
@@ -1112,15 +1191,20 @@ class LakeTable:
 
     def _changes_join(self, old_m: dict, new_t: "LakeTable",
                       buckets: list[int],
-                      out_schema: T.StructType) -> DataFrame:
+                      out_schema: T.StructType,
+                      image: str = "post") -> DataFrame:
         """Join-formulation diff (equality witness + oversized-bucket
         fallback): resolve BOTH versions (old side slim — keys +
-        offset + deleted only, via the projection pushdown), full-outer
-        join on keys, classify. Shuffles O(changed-bucket rows)."""
+        offset + deleted only, via the projection pushdown — unless
+        ``image="both"``, which needs the old PAYLOAD for pre-image
+        rows), full-outer join on keys, classify. Shuffles
+        O(changed-bucket rows)."""
         old_t = LakeTable(self.spark, self.path, old_m, io=self.io)
         if hasattr(self, "local_resolve_budget_bytes"):
             old_t.local_resolve_budget_bytes = self.local_resolve_budget_bytes
         o_off, o_del = "_o" + LAST_OFFSET_COL, "_o" + DELETED_COL
+        if image == "both":
+            return self._changes_join_both(old_t, new_t, buckets, out_schema)
         slim = T.StructType(
             [
                 f for f in old_t.schema.fields
@@ -1131,9 +1215,29 @@ class LakeTable:
             old_t._resolved(buckets, schema=slim)
             .withColumnRenamed(LAST_OFFSET_COL, o_off)
             .withColumnRenamed(DELETED_COL, o_del)
+        ).alias("_co")
+        n = new_t._resolved(buckets).alias("_cn")
+        # NULL-SAFE full outer on keys (NULL is a legal key value);
+        # key columns coalesce to one output column per key
+        jcond = None
+        for k in self.key_cols:
+            e = F.col(f"_cn.{k}").eqNullSafe(F.col(f"_co.{k}"))
+            jcond = e if jcond is None else jcond & e
+        j = n.join(o, jcond, "full_outer")
+        keyed = []
+        for k in self.key_cols:
+            present = F.when(
+                F.col(o_off).isNotNull(), F.col(f"_co.{k}")
+            ).otherwise(F.col(f"_cn.{k}"))
+            keyed.append(present.alias(k))
+        j = j.select(
+            *keyed,
+            *[
+                F.col(c)
+                for c in j.columns
+                if c not in set(self.key_cols)
+            ],
         )
-        n = new_t._resolved(buckets)
-        j = n.join(o, on=list(self.key_cols), how="full_outer")
         o_live = F.col(o_off).isNotNull() & ~F.coalesce(
             F.col(o_del), F.lit(False)
         )
@@ -1169,6 +1273,85 @@ class LakeTable:
                     .alias(f.name)
                 )
         return j.select(*cols)
+
+    def _changes_join_both(self, old_t: "LakeTable", new_t: "LakeTable",
+                           buckets: list[int],
+                           out_schema: T.StructType) -> DataFrame:
+        """``image="both"`` join formulation: old side resolves FULL
+        payload; updates emit a pre/post row pair, deletes carry the
+        old row. Pre-image rows NULL-pad columns the old schema lacks
+        (additive evolution)."""
+        keys = list(self.key_cols)
+        old_names = {f.name for f in old_t.schema.fields}
+        o = old_t._resolved(buckets)
+        for f in old_t.schema.fields:
+            if f.name not in keys:
+                o = o.withColumnRenamed(f.name, "_o" + f.name)
+        o_off, o_del = "_o" + LAST_OFFSET_COL, "_o" + DELETED_COL
+        o = o.alias("_co")
+        n = new_t._resolved(buckets).alias("_cn")
+        # NULL-SAFE full outer on keys; coalesce keys to one column
+        jcond = None
+        for k in keys:
+            e = F.col(f"_cn.{k}").eqNullSafe(F.col(f"_co.{k}"))
+            jcond = e if jcond is None else jcond & e
+        j = n.join(o, jcond, "full_outer")
+        j = j.select(
+            *[
+                F.when(F.col(o_off).isNotNull(), F.col(f"_co.{k}"))
+                .otherwise(F.col(f"_cn.{k}"))
+                .alias(k)
+                for k in keys
+            ],
+            *[F.col(c) for c in j.columns if c not in set(keys)],
+        )
+        o_live = F.col(o_off).isNotNull() & ~F.coalesce(
+            F.col(o_del), F.lit(False)
+        )
+        n_live = F.col(LAST_OFFSET_COL).isNotNull() & ~F.coalesce(
+            F.col(DELETED_COL), F.lit(False)
+        )
+        ct = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            .when(
+                o_live & n_live
+                & (F.col(o_off) != F.col(LAST_OFFSET_COL)),
+                F.lit("update"),
+            )
+            .when(o_live & ~n_live, F.lit("delete"))
+        )
+        j = j.withColumn("_ct", ct).filter(F.col("_ct").isNotNull())
+        post_cols, pre_cols = [], []
+        for f in out_schema.fields:
+            if f.name in keys:
+                post_cols.append(F.col(f.name))
+                pre_cols.append(F.col(f.name))
+            elif f.name == CHANGE_COL:
+                post_cols.append(
+                    F.when(F.col("_ct") == "insert", F.lit("insert"))
+                    .otherwise(F.lit("update_postimage"))
+                    .alias(CHANGE_COL)
+                )
+                pre_cols.append(
+                    F.when(F.col("_ct") == "delete", F.lit("delete"))
+                    .otherwise(F.lit("update_preimage"))
+                    .alias(CHANGE_COL)
+                )
+            elif f.name == LAST_OFFSET_COL:
+                post_cols.append(F.col(LAST_OFFSET_COL))
+                pre_cols.append(F.col(o_off).alias(LAST_OFFSET_COL))
+            else:
+                post_cols.append(F.col(f.name))
+                pre_cols.append(
+                    (
+                        F.col("_o" + f.name)
+                        if f.name in old_names
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                )
+        post = j.filter(F.col("_ct") != "delete").select(*post_cols)
+        pre = j.filter(F.col("_ct") != "insert").select(*pre_cols)
+        return post.unionByName(pre)
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -1424,9 +1607,16 @@ class LakeTable:
             woff = wmax_o.select(F.col(order_col))
             winners = ev.join(F.broadcast(woff), on=order_col, how="inner")
         else:
-            winners = ev.join(
-                wmax_o, on=key_cols + [order_col], how="inner"
-            ).drop("_n", "_wb")
+            # NULL-SAFE key join (NULL is a legal key value — view
+            # group keys); offsets are never NULL by contract. Still
+            # an equi-join (no skew change).
+            e, w = ev.alias("_mg_e"), wmax_o.alias("_mg_w")
+            cond = F.col(f"_mg_e.{order_col}") == F.col(f"_mg_w.{order_col}")
+            for k in key_cols:
+                cond = cond & F.col(f"_mg_e.{k}").eqNullSafe(
+                    F.col(f"_mg_w.{k}")
+                )
+            winners = e.join(w, cond, "inner").select("_mg_e.*")
         winners = winners.withColumn(BUCKET_COL, bucket_expr(key_cols, b_total))
         # Row transform on winners only (see docstring).
         if transform is not None:
@@ -1620,7 +1810,12 @@ class LakeTable:
         else NULL if the batch deleted, else the stored value (stored
         tombstones contribute nothing). (4) The final FULL rows append
         through the normal delta/commit machinery, so the read path is
-        unchanged — stored rows are always complete."""
+        unchanged — stored rows are always complete.
+
+        LIMITATION: NULL key values are unsupported in patch mode (the
+        read-modify joins here are plain equality; row-mode merge and
+        the read/changes paths are null-safe — view-maintenance group
+        keys go through row mode)."""
         manifest = self.manifest
         if stream_id is not None and batch_id is not None:
             if batch_id <= manifest["committed"].get(stream_id, -1):

@@ -1,0 +1,136 @@
+"""Change data feed with ``image="both"`` (full Delta-CDF parity):
+updates emit an ``update_preimage``/``update_postimage`` row pair and
+deletes carry the deleted row's payload + old offset — the retraction
+contract incremental view maintenance consumes. Local and join
+strategies are equality-pinned; pre-image rows NULL-pad columns added
+between the versions.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+from test_changes_feed import PAYLOAD, _build, _env, _rows
+
+# _build: v1 has k0..9 live except k3 (deleted); v1->v2 updates k0,
+# deletes k1, re-inserts k3, inserts k20, replays k5 unchanged.
+EXPECTED_BOTH = [
+    (0, "a0", 0.0, 0, "update_preimage"),
+    (0, "b0", 0.5, 100, "update_postimage"),
+    (1, "a1", 1.0, 1, "delete"),
+    (3, "b3", 3.5, 102, "insert"),
+    (20, "b20", 20.5, 103, "insert"),
+]
+
+
+@pytest.mark.parametrize("strategy", ["local", "join"])
+def test_pre_post_images(spark, tmp_path, strategy):
+    t, v1, v2 = _build(spark, tmp_path)
+    ch = t.changes(v1, v2, strategy=strategy, image="both")
+    assert _rows(ch) == sorted(EXPECTED_BOTH)
+
+
+def test_post_mode_unchanged_default(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    labels = {
+        r[0] for r in t.changes(v1, v2).select("_change_type").distinct().collect()
+    }
+    assert labels == {"insert", "update", "delete"}
+
+
+def test_image_validation(spark, tmp_path):
+    t, v1, v2 = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="image"):
+        t.changes(v1, v2, image="pre")
+
+
+@pytest.mark.parametrize("strategy", ["local", "join"])
+def test_preimage_null_pads_added_columns(spark, tmp_path, strategy):
+    """A column added between the versions is NULL on pre-image rows
+    (the old files never stored it)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "evo"), PAYLOAD, ["k"], num_buckets=4
+    )
+    t.merge(
+        _env(spark, [(i, "insert", i, f"a{i}", float(i)) for i in range(4)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    evolved = spark.createDataFrame(
+        [(100, "update", 2, "b2", 2.5, "extra")],
+        "offset long, op string, k long, v string, w double, z string",
+    )
+    t.merge(evolved, stream_id="s", batch_id=1, compact_threshold=None)
+    t = t.refresh()
+    ch = t.changes(v1, strategy=strategy, image="both")
+    rows = {r["_change_type"]: r for r in ch.collect()}
+    assert set(rows) == {"update_preimage", "update_postimage"}
+    assert rows["update_preimage"]["z"] is None
+    assert rows["update_preimage"]["v"] == "a2"
+    assert rows["update_preimage"]["_last_offset"] == 2
+    assert rows["update_postimage"]["z"] == "extra"
+    assert rows["update_postimage"]["_last_offset"] == 100
+
+
+def test_both_strategies_equal_on_evolution(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "evo2"), PAYLOAD, ["k"], num_buckets=4
+    )
+    t.merge(
+        _env(
+            spark,
+            [(i, "insert", i, f"a{i}", float(i)) for i in range(8)]
+            + [(40, "delete", 6, None, None)],
+        ),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    evolved = spark.createDataFrame(
+        [
+            (100, "update", 0, "b0", 0.5, "x0"),
+            (101, "delete", 1, None, None, None),
+            (102, "insert", 6, "b6", 6.5, "x6"),
+        ],
+        "offset long, op string, k long, v string, w double, z string",
+    )
+    t.merge(evolved, stream_id="s", batch_id=1, compact_threshold=None)
+    t = t.refresh()
+    local = _rows(t.changes(v1, strategy="local", image="both"))
+    join = _rows(t.changes(v1, strategy="join", image="both"))
+    assert local == join
+    # delete of k1 carries the OLD payload, not NULLs
+    dels = [r for r in local if r[-1] == "delete"]
+    assert dels == [(1, "a1", 1.0, None, 1, "delete")]
+
+
+def test_retraction_identity(spark, tmp_path):
+    """The feed's signed fold IS the state delta: for every key,
+    (post rows) - (pre rows) folded over any span equals
+    state(to) - state(since) — the invariant the matview layer and any
+    differential consumer rely on."""
+    t, v1, v2 = _build(spark, tmp_path)
+    feed = t.changes(v1, v2, image="both")
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    folded = (
+        feed.select(w.alias("_w"), F.coalesce("w", F.lit(0.0)).alias("w"))
+        .agg(
+            F.sum("_w").alias("d_rows"),
+            F.sum(F.col("w") * F.col("_w")).alias("d_sum"),
+        )
+        .collect()[0]
+    )
+    old = LakeTable.load_version(spark, t.path, v1)
+    o = old.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("s"),
+    ).collect()[0]
+    n = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("s"),
+    ).collect()[0]
+    assert folded["d_rows"] == n["n"] - o["n"]
+    assert abs(folded["d_sum"] - (n["s"] - o["s"])) < 1e-9

@@ -1,0 +1,241 @@
+"""Incrementally-maintained materialized views (``plans/matview.py``):
+counting IVM over the pre/post-image change feed. The invariant every
+test pins: after any sequence of base merges and view refreshes, the
+view equals the same group-by recomputed from scratch over the base's
+current state.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+from migrator_spark.plans.matview import MaterializedView
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("g", T.StringType(), True),
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("y", T.LongType(), True),
+    ]
+)
+
+AGGS = {
+    "n": ("count", None),
+    "nx": ("count", "x"),
+    "sx": ("sum", "x"),
+    "sy": ("sum", "y"),
+    "ax": ("avg", "x"),
+}
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, k long, g string, x double, y long"
+    )
+
+
+def _recompute(base):
+    return base.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("x").alias("nx"),
+        F.coalesce(F.sum("x"), F.lit(0.0)).alias("sx"),
+        F.coalesce(F.sum("y"), F.lit(0)).alias("sy"),
+        F.avg("x").alias("ax"),
+    )
+
+
+def _norm(df):
+    rows = []
+    for r in df.collect():
+        vals = []
+        for v in r:
+            vals.append(round(v, 6) if isinstance(v, float) else v)
+        rows.append(tuple(vals))
+    return sorted(rows, key=lambda t: (t[0] is None, t[0]))
+
+
+def _assert_matches(mv):
+    got = _norm(mv.read().select("g", "n", "nx", "sx", "sy", "ax"))
+    want = _norm(_recompute(mv.base))
+    assert got == want
+
+
+def _mk(spark, tmp_path, rows0):
+    base = LakeTable.create(
+        spark, str(tmp_path / "base"), PAYLOAD, ["k"], num_buckets=8
+    )
+    base.merge(_env(spark, rows0), stream_id="s", batch_id=0,
+               compact_threshold=None)
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), base, ["g"], AGGS, num_buckets=4
+    )
+    return base, mv
+
+
+ROWS0 = [
+    (0, "insert", 0, "a", 1.0, 10),
+    (1, "insert", 1, "a", None, 20),
+    (2, "insert", 2, "b", 3.0, None),
+    (3, "insert", 3, "b", 4.0, 40),
+    (4, "insert", 4, "c", 5.0, 50),
+]
+
+
+def test_initial_full_fill(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    r = mv.refresh()
+    assert r["mode"] == "full" and not r["skipped"]
+    _assert_matches(mv)
+    assert mv.cursor() == base.version
+
+
+def test_noop_when_base_unmoved(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    r = mv.refresh()
+    assert r["mode"] == "noop" and r["skipped"]
+
+
+def test_incremental_updates_moves_between_groups(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    # k0 moves a->b, k2 updates in place, k4 deleted, new k5 in d
+    base.merge(
+        _env(spark, [
+            (100, "update", 0, "b", 1.5, 11),
+            (101, "update", 2, "b", None, 30),
+            (102, "delete", 4, None, None, None),
+            (103, "insert", 5, "d", 6.0, 60),
+        ]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    r = mv.refresh()
+    assert r["mode"] == "incremental"
+    _assert_matches(mv)
+    # group c vanished entirely -> its view row was deleted
+    assert mv.read().filter(F.col("g") == "c").count() == 0
+
+
+def test_refresh_spanning_multiple_commits(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    base.merge(_env(spark, [(100, "update", 0, "a", 9.0, 90)]),
+               stream_id="s", batch_id=1, compact_threshold=None)
+    base.merge(_env(spark, [(101, "delete", 1, None, None, None),
+                            (102, "insert", 6, "e", 7.0, 70)]),
+               stream_id="s", batch_id=2, compact_threshold=None)
+    r = mv.refresh()  # one refresh folds both commits
+    assert r["mode"] == "incremental"
+    _assert_matches(mv)
+
+
+def test_replayed_refresh_skipped_by_batch_guard(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    base.merge(_env(spark, [(100, "insert", 7, "a", 2.0, 2)]),
+               stream_id="s", batch_id=1, compact_threshold=None)
+    mv.refresh()
+    before = _norm(mv.read())
+    # a second view handle replaying the same span is a no-op
+    mv2 = MaterializedView.load(
+        spark, mv.table.path, base, ["g"], AGGS, name=mv.name
+    )
+    r = mv2.refresh()
+    assert r["skipped"]
+    assert _norm(mv2.read()) == before
+
+
+def test_compaction_only_commit_advances_cursor(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    base.merge(_env(spark, [(100, "update", 0, "a", 2.0, 12)]),
+               stream_id="s", batch_id=1, compact_threshold=None)
+    mv.refresh()
+    before = base.version
+    base.compact()  # version moves, state identical
+    base = base.refresh()
+    assert base.version > before
+    r = mv.refresh()
+    assert not r["skipped"]
+    assert mv.cursor() == base.version
+    _assert_matches(mv)
+
+
+def test_vacuumed_cursor_falls_back_to_full_resync(spark, tmp_path):
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    for b in range(1, 4):
+        base.merge(
+            _env(spark, [(100 + b, "update", 0, "a", float(b), b)]),
+            stream_id="s", batch_id=b, compact_threshold=None,
+        )
+    # drop every group but keep the view unaware, then expire history
+    base.merge(
+        _env(spark, [(200, "delete", k, None, None, None)
+                     for k in range(8)]),
+        stream_id="s", batch_id=4, compact_threshold=None,
+    )
+    base.expire_snapshots(keep=1)
+    r = mv.refresh()
+    assert r["mode"] == "full"
+    _assert_matches(mv)
+    assert mv.read().count() == 0  # deletes converged via anti-join
+
+
+def test_view_is_a_laketable_snapshots_and_feed(spark, tmp_path):
+    """Views chain: the view's own change feed reports the groups a
+    refresh touched."""
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    v1 = mv.table.version
+    base.merge(_env(spark, [(100, "insert", 8, "a", 1.0, 1)]),
+               stream_id="s", batch_id=1, compact_threshold=None)
+    mv.refresh()
+    ch = mv.table.changes(v1)
+    got = {(r["g"], r["_change_type"]) for r in ch.collect()}
+    assert got == {("a", "update")}
+
+
+def test_rejects_non_retractable_aggs(spark, tmp_path):
+    base = LakeTable.create(
+        spark, str(tmp_path / "b2"), PAYLOAD, ["k"], num_buckets=4
+    )
+    with pytest.raises(ValueError, match="retractable"):
+        MaterializedView.create(
+            spark, str(tmp_path / "m2"), base, ["g"], {"m": ("min", "x")}
+        )
+
+
+def test_randomized_interleavings_match_recompute(spark, tmp_path):
+    """Property-style: random op stream in random batch splits; after
+    every refresh the view equals the from-scratch group-by."""
+    rng = random.Random(7)
+    base = LakeTable.create(
+        spark, str(tmp_path / "rb"), PAYLOAD, ["k"], num_buckets=8
+    )
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "rm"), base, ["g"], AGGS, num_buckets=4
+    )
+    groups = ["a", "b", "c", None]
+    off = 0
+    for batch in range(4):
+        rows = []
+        for _ in range(rng.randint(3, 12)):
+            k = rng.randint(0, 9)
+            op = rng.choice(["insert", "update", "delete"])
+            if op == "delete":
+                rows.append((off, op, k, None, None, None))
+            else:
+                rows.append((
+                    off, op, k, rng.choice(groups),
+                    rng.choice([None, round(rng.uniform(-5, 5), 3)]),
+                    rng.choice([None, rng.randint(-100, 100)]),
+                ))
+            off += 1
+        base.merge(_env(spark, rows), stream_id="s", batch_id=batch,
+                   compact_threshold=None)
+        mv.refresh()
+        _assert_matches(mv)

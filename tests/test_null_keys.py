@@ -1,0 +1,75 @@
+"""NULL key values through the LWW engine (row mode): merge (both
+winner-join strategies), both read resolvers, compaction, and the
+change feed must treat NULL as a legal key — SQL GROUP BY semantics,
+required by materialized-view group keys. Regression for the
+NaN-vs-None key-verification drop (pandas reset_index turns a None
+group key into NaN) and the equality joins that silently lost
+NULL-keyed rows.
+"""
+
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("g", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, "offset long, op string, g string, n long")
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+def test_null_key_full_lifecycle(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "nk"), PAYLOAD, ["g"], num_buckets=4
+    )
+    t.merge(
+        _env(spark, [(1, "update", None, 5), (2, "update", "a", 7)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    assert _rows(t.read(resolve="local").select("g", "n")) == _rows(
+        t.read(resolve="shuffle").select("g", "n")
+    ) == [("a", 7), (None, 5)]
+
+    # update the NULL key via the broadcast winner path
+    t.merge(_env(spark, [(10, "update", None, 6)]),
+            stream_id="s", batch_id=1, compact_threshold=None)
+    assert _rows(t.read().select("g", "n")) == [("a", 7), (None, 6)]
+
+    # the change feed sees it, both strategies, both image modes
+    for strat in ("local", "join"):
+        post = _rows(t.changes(v1, strategy=strat))
+        assert post == [(None, 6, 10, "update")]
+        both = _rows(t.changes(v1, strategy=strat, image="both"))
+        assert both == [
+            (None, 5, 1, "update_preimage"),
+            (None, 6, 10, "update_postimage"),
+        ]
+
+    # shuffle-fallback winner join (forced) keeps the NULL key
+    t.merge(_env(spark, [(20, "update", None, 8)]),
+            stream_id="s", batch_id=2, broadcast_winner_limit=0,
+            compact_threshold=None)
+    assert _rows(t.read().select("g", "n")) == [("a", 7), (None, 8)]
+
+    # compaction (bucket-local rewrite) preserves it
+    t.compact()
+    assert _rows(t.read().select("g", "n")) == [("a", 7), (None, 8)]
+
+    # delete the NULL key; feed reports it with the old payload
+    v2 = t.version
+    t.merge(_env(spark, [(30, "delete", None, None)]),
+            stream_id="s", batch_id=3, compact_threshold=None)
+    assert _rows(t.read().select("g", "n")) == [("a", 7)]
+    for strat in ("local", "join"):
+        both = _rows(t.changes(v2, strategy=strat, image="both"))
+        assert both == [(None, 8, 20, "delete")]
