@@ -1238,6 +1238,145 @@ FROM classified WHERE change_type IS NOT NULL
 """
 
 
+def q_cdc_changes_pre_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED with PRE/POST images (Delta CDF parity,
+    ``changes(image="both")``): updates emit an update_preimage/
+    update_postimage row PAIR and deletes carry the deleted row's
+    payload + old offset — the retraction contract incremental view
+    maintenance consumes. The oracle joins the half-log and full-log
+    LWW folds and emits post rows from the new winners and pre rows
+    from the OLD winners."""
+    table, v_mid = _cdc_two_batch_table(spark, sf_dir)
+    ch = table.changes(v_mid, image="both")
+    out = ch.select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+        F.col("_change_type").alias("change_type"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes out of scope
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_CHANGES_PRE_POST = EV_CTE + """
+, mid AS (SELECT (max(event_id) + 1) // 2 AS m FROM events)
+, o AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+    FROM ev, mid WHERE ev_offset < mid.m
+  ) WHERE rn = 1
+)
+, n AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+, cl AS (
+  SELECT n.key AS nkey, n.ev_offset AS noff, n.value AS nval, n.props AS nprops,
+         o.ev_offset AS ooff, o.value AS oval, o.props AS oprops,
+         CASE WHEN (o.key IS NULL OR o.op = 'delete') AND n.op <> 'delete'
+                THEN 'insert'
+              WHEN o.op <> 'delete' AND n.op = 'delete'
+                THEN 'delete'
+              WHEN o.op <> 'delete' AND n.op <> 'delete'
+                   AND n.ev_offset <> o.ev_offset
+                THEN 'update'
+         END AS ct
+  FROM n LEFT JOIN o ON n.key = o.key
+)
+SELECT nkey AS key, noff AS last_offset, nval AS last_value,
+       nprops AS last_props,
+       CASE WHEN ct = 'insert' THEN 'insert'
+            ELSE 'update_postimage' END AS change_type
+FROM cl WHERE ct IN ('insert', 'update')
+UNION ALL
+SELECT nkey AS key, ooff AS last_offset, oval AS last_value,
+       oprops AS last_props,
+       CASE WHEN ct = 'delete' THEN 'delete'
+            ELSE 'update_preimage' END AS change_type
+FROM cl WHERE ct IN ('update', 'delete')
+"""
+
+
+def q_mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW through the engine
+    (``plans/matview.py`` — counting IVM over the pre/post-image
+    feed): apply the envelope to a base table in THREE merges; a
+    group-by view (count / exact integral sum / avg) is filled once
+    after the first merge and then refreshed INCREMENTALLY after each
+    of the other two — each refresh folds only the changed keys'
+    pre/post images, never rescanning the base. The oracle recomputes
+    the same group-by from scratch over the full-log LWW fold: the
+    incrementally-maintained state must equal it exactly (integral
+    measures keep the sums float-exact; avg is one double division on
+    both engines)."""
+    from migrator_spark.plans.laketable import LakeTable
+    from migrator_spark.plans.matview import MaterializedView
+
+    ev = envelope(spark, sf_dir).select(
+        F.col("ev_offset").alias("offset"),
+        "op",
+        "key",
+        F.pmod(F.col("key"), F.lit(7)).alias("g"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("g", T.LongType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-mv-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    base = LakeTable.create(spark, tmp + "/base", payload, ["key"],
+                            num_buckets=8)
+    mv = MaterializedView.create(
+        spark, tmp + "/mv", base, ["g"],
+        {"n_rows": ("count", None), "sum_v": ("sum", "v"),
+         "avg_v": ("avg", "v")},
+        num_buckets=4,
+    )
+    # TEST-HARNESS ONLY driver max() — mirrors q_cdc_apply_full
+    n = ev.agg(F.max("offset")).collect()[0][0] + 1
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        base.merge(
+            ev.filter((F.col("offset") >= lo) & (F.col("offset") < hi)),
+            stream_id="q", batch_id=i, salt_buckets=4,
+            compact_threshold=None,
+        )
+        r = mv.refresh()
+        assert r["mode"] == ("full" if i == 0 else "incremental"), r
+    out = mv.read().select("g", "n_rows", "sum_v", "avg_v").orderBy("g")
+    # TEST-HARNESS ONLY: pin before the tempdir goes out of scope
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_MV_INCREMENTAL_AGG = EV_CTE + """
+, n AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+, live AS (
+  SELECT key % 7 AS g, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM n WHERE op <> 'delete'
+)
+SELECT g, count(*) AS n_rows,
+       CAST(coalesce(sum(v), 0) AS BIGINT) AS sum_v,
+       CAST(sum(v) AS DOUBLE) / count(v) AS avg_v
+FROM live GROUP BY g ORDER BY g
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified BALANCED sample of the documents
     corpus: every language stratum is downsampled to the size of the
@@ -1478,6 +1617,8 @@ QUERIES = {
     "cdc_patch_set_null": q_cdc_patch_set_null,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_changes_feed": q_cdc_changes_feed,
+    "cdc_changes_pre_post": q_cdc_changes_pre_post,
+    "mv_incremental_agg": q_mv_incremental_agg,
     "cdc_replicate_chain": q_cdc_replicate_chain,
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lineage_totals": q_cdc_lineage_totals,
@@ -1519,6 +1660,8 @@ ORACLES = {
     "cdc_patch_set_null": SQL_CDC_PATCH_SET_NULL,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
+    "cdc_changes_pre_post": SQL_CDC_CHANGES_PRE_POST,
+    "mv_incremental_agg": SQL_MV_INCREMENTAL_AGG,
     "cdc_replicate_chain": SQL_CDC_REPLICATE_CHAIN,
     "cdc_lww_final_state": SQL_CDC_LWW_FINAL_STATE,
     "cdc_lineage_totals": SQL_CDC_LINEAGE_TOTALS,
