@@ -533,6 +533,42 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         cdf["sparse_changes_sec"] = round(time.monotonic() - t0, 3)
     except Exception as e:  # never fail the record over the extra probe
         cdf["error"] = str(e)[-200:]
+    # Incremental view maintenance (round-5): a per-repo group-by view
+    # is filled ONCE (the full-recompute baseline), then a one-key
+    # commit is folded in INCREMENTALLY — the refresh must cost a
+    # fraction of the fill (O(changed groups): one changed base
+    # bucket's feed + one view bucket's rewrite, never a rescan).
+    mvrec = {}
+    try:
+        import shutil as _sh
+
+        from migrator_spark.plans.matview import MaterializedView
+
+        mv_dir = os.path.join(BENCH_ROOT, "mv-full")
+        _sh.rmtree(mv_dir, ignore_errors=True)
+        mv = MaterializedView.create(
+            spark, mv_dir, ft, ["repo"],
+            {"n_docs": ("count", None), "n_sha": ("count", "content_sha256")},
+            num_buckets=16,
+        )
+        t0 = time.monotonic()
+        mv.refresh()
+        mvrec["full_fill_sec"] = round(time.monotonic() - t0, 3)
+        mvrec["groups"] = int(mv.table.count(estimate=True))
+        one2 = (
+            spark.read.parquet(log_dir)
+            .filter(F.col("op") != "delete")
+            .orderBy(F.desc("offset")).limit(1)
+            .withColumn("offset", F.col("offset") + 2_000_000)
+        )
+        ft.merge(one2, stream_id="cdf-sparse", batch_id=1,
+                 transform=default_cdc_transform, compact_threshold=None)
+        t0 = time.monotonic()
+        r = mv.refresh()
+        mvrec["incremental_refresh_sec"] = round(time.monotonic() - t0, 3)
+        mvrec["mode"] = r["mode"]
+    except Exception as e:  # never fail the record over the extra probe
+        mvrec["error"] = str(e)[-200:]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline suite wall time (CDC apply + operator queries)",
@@ -549,6 +585,7 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         },
         "control_fixed_sec": control_fixed,
         "cdc_changes_feed": cdf,
+        "matview": mvrec,
         "cores": CPUS,
     }
     # ANN quality rides every bench record: recall@10 of the LSH index

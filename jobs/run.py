@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--strategy", default=None, choices=["local", "join"],
                     help="bucket-local zero-exchange diff (default) or the "
                          "two-resolve join formulation")
+    ch.add_argument("--image", default="post", choices=["post", "both"],
+                    help="post = net changes (default); both = Delta-CDF "
+                         "parity with update pre/post-image pairs and "
+                         "deletes carrying the old row (the retraction "
+                         "contract view maintenance consumes)")
     ch.add_argument("--dest", default=None,
                     help="write the feed to this parquet dir; omit to only "
                          "print counts")
@@ -151,6 +156,26 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--timeout", type=float, default=None,
                      help="stop --follow after this many seconds")
     rep.add_argument("--cores", type=int, default=None)
+
+    mvp = sub.add_parser(
+        "matview",
+        help="create/refresh an incrementally-maintained group-by view "
+             "over a table (counting IVM on the pre/post-image feed: "
+             "each refresh folds only changed keys, O(changed groups))",
+    )
+    mvp.add_argument("--base", required=True, help="base table path")
+    mvp.add_argument("--view", required=True, help="view state table path")
+    mvp.add_argument("--group", required=True,
+                     help="comma-separated group columns")
+    mvp.add_argument("--agg", action="append", required=True,
+                     help="aggregate spec name=kind[:column], kind in "
+                          "count|sum|avg (e.g. n=count sum_v=sum:v); "
+                          "repeatable")
+    mvp.add_argument("--create", action="store_true",
+                     help="create the view state table if missing")
+    mvp.add_argument("--buckets", type=int, default=16,
+                     help="view state bucket count (with --create)")
+    mvp.add_argument("--cores", type=int, default=None)
 
     imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
     imp.add_argument("--table", required=True)
@@ -245,7 +270,8 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("migrator-changes", cores=args.cores)
         table = LakeTable.load(spark, args.table)
-        feed = table.changes(args.since, args.to, strategy=args.strategy)
+        feed = table.changes(args.since, args.to, strategy=args.strategy,
+                             image=args.image)
         if args.dest:
             feed.write.mode("overwrite").parquet(args.dest)
             feed = spark.read.parquet(args.dest)
@@ -298,6 +324,38 @@ def main(argv: list[str] | None = None) -> int:
         else:
             res = replicate(src, dst, stream_id=args.stream_id)
         res["dst_rows_estimate"] = dst.refresh().count(estimate=True)
+        print(json.dumps(res))
+        return 0
+
+    if args.mode == "matview":
+        import os as _os
+
+        from migrator_spark.plans.laketable import LakeTable
+        from migrator_spark.plans.matview import MaterializedView
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-matview", cores=args.cores)
+        base = LakeTable.load(spark, args.base)
+        group = [c.strip() for c in args.group.split(",") if c.strip()]
+        aggs = {}
+        for spec in args.agg:
+            name, _, kc = spec.partition("=")
+            kind, _, col = kc.partition(":")
+            if not name or not kind:
+                raise SystemExit(f"bad --agg spec {spec!r} "
+                                 "(want name=kind[:column])")
+            aggs[name] = (kind, col or None)
+        if args.create and not _os.path.exists(
+            _os.path.join(args.view, "HEAD")
+        ):
+            mv = MaterializedView.create(
+                spark, args.view, base, group, aggs,
+                num_buckets=args.buckets,
+            )
+        else:
+            mv = MaterializedView.load(spark, args.view, base, group, aggs)
+        res = mv.refresh()
+        res["groups_estimate"] = mv.table.refresh().count(estimate=True)
         print(json.dumps(res))
         return 0
 
