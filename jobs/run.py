@@ -165,12 +165,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     mvp.add_argument("--base", required=True, help="base table path")
     mvp.add_argument("--view", required=True, help="view state table path")
-    mvp.add_argument("--group", required=True,
-                     help="comma-separated group columns")
-    mvp.add_argument("--agg", action="append", required=True,
+    mvp.add_argument("--group", default=None,
+                     help="comma-separated group columns (required with "
+                          "--create; an existing view loads its stored spec)")
+    mvp.add_argument("--agg", action="append", default=None,
                      help="aggregate spec name=kind[:column], kind in "
                           "count|sum|avg (e.g. n=count sum_v=sum:v); "
-                          "repeatable")
+                          "repeatable; required with --create")
     mvp.add_argument("--create", action="store_true",
                      help="create the view state table if missing")
     mvp.add_argument("--buckets", type=int, default=16,
@@ -336,23 +337,30 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("migrator-matview", cores=args.cores)
         base = LakeTable.load(spark, args.base)
-        group = [c.strip() for c in args.group.split(",") if c.strip()]
-        aggs = {}
-        for spec in args.agg:
-            name, _, kc = spec.partition("=")
-            kind, _, col = kc.partition(":")
-            if not name or not kind:
-                raise SystemExit(f"bad --agg spec {spec!r} "
-                                 "(want name=kind[:column])")
-            aggs[name] = (kind, col or None)
+        group = aggs = None
+        if args.group:
+            group = [c.strip() for c in args.group.split(",") if c.strip()]
+        if args.agg:
+            aggs = {}
+            for spec in args.agg:
+                name, _, kc = spec.partition("=")
+                kind, _, col = kc.partition(":")
+                if not name or not kind:
+                    raise SystemExit(f"bad --agg spec {spec!r} "
+                                     "(want name=kind[:column])")
+                aggs[name] = (kind, col or None)
         if args.create and not _os.path.exists(
             _os.path.join(args.view, "HEAD")
         ):
+            if group is None or aggs is None:
+                raise SystemExit("--create needs --group and --agg")
             mv = MaterializedView.create(
                 spark, args.view, base, group, aggs,
                 num_buckets=args.buckets,
             )
         else:
+            # existing view: spec comes from its stored table
+            # properties unless explicitly overridden
             mv = MaterializedView.load(spark, args.view, base, group, aggs)
         res = mv.refresh()
         res["groups_estimate"] = mv.table.refresh().count(estimate=True)

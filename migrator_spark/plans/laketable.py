@@ -639,6 +639,7 @@ class LakeTable:
         if_not_exists: bool = False,
         io: TableIO | None = None,
         expected_table_bytes: int | None = None,
+        properties: dict | None = None,
     ) -> "LakeTable":
         """``expected_table_bytes``: optional sizing hint — the caller's
         estimate of the table's eventual (uncompressed) size. Buckets
@@ -696,6 +697,11 @@ class LakeTable:
             "committed": {},
             "last_offset": -1,
             "lineage_totals": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+            # application metadata carried verbatim across every commit
+            # (Iceberg table-properties analogue) — e.g. a materialized
+            # view stores its group/agg spec here so load() needs no
+            # side-channel
+            "properties": dict(properties or {}),
             "parent": None,
         }
         t = cls(spark, path, manifest, io=io)
@@ -756,6 +762,12 @@ class LakeTable:
     @property
     def num_buckets(self) -> int:
         return self.manifest["num_buckets"]
+
+    @property
+    def properties(self) -> dict:
+        """Application metadata, carried verbatim across commits
+        (Iceberg table-properties analogue)."""
+        return self.manifest.get("properties", {})
 
     @property
     def version(self) -> int:
@@ -2261,6 +2273,8 @@ class LakeTable:
                 if (totals.get("applied", 0) + totals.get("deleted", 0))
                 else old.get("last_batch_bytes")
             ),
+            # application metadata rides every commit unchanged
+            "properties": old.get("properties", {}),
             "parent": old["version"],
         }
         lineage = {

@@ -126,18 +126,44 @@ class MaterializedView:
         mv.table = LakeTable.create(
             spark, path, state, list(group_cols), num_buckets=num_buckets,
             io=io,
+            # the spec rides the view's own manifest (table properties)
+            # so load() needs no side-channel — the view is
+            # self-describing
+            properties={
+                "mv": {
+                    "name": name,
+                    "group_cols": list(group_cols),
+                    "aggs": {k: list(v) for k, v in mv.aggs.items()},
+                }
+            },
         )
         return mv
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, base: LakeTable,
-             group_cols: list[str], aggs: dict, name: str | None = None,
+             group_cols: list[str] | None = None, aggs: dict | None = None,
+             name: str | None = None,
              io: TableIO | None = None) -> "MaterializedView":
+        """Open an existing view. ``group_cols``/``aggs``/``name``
+        default to the spec stored in the view's table properties at
+        :meth:`create` time (pass them only to override/validate)."""
         import os
 
-        name = name or os.path.basename(path.rstrip("/"))
-        return cls(base, LakeTable.load(spark, path, io=io),
-                   group_cols, aggs, name)
+        table = LakeTable.load(spark, path, io=io)
+        stored = table.properties.get("mv", {})
+        if group_cols is None:
+            group_cols = stored.get("group_cols")
+        if aggs is None:
+            aggs = {
+                k: (v[0], v[1]) for k, v in stored.get("aggs", {}).items()
+            } or None
+        if group_cols is None or aggs is None:
+            raise ValueError(
+                f"view at {path!r} carries no stored spec (created before "
+                "table properties?) — pass group_cols and aggs explicitly"
+            )
+        name = name or stored.get("name") or os.path.basename(path.rstrip("/"))
+        return cls(base, table, group_cols, aggs, name)
 
     # ------------------------------------------------------------ spec
     def _state_fields(self, base_schema: T.StructType) -> list[T.StructField]:

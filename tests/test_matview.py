@@ -199,6 +199,44 @@ def test_view_is_a_laketable_snapshots_and_feed(spark, tmp_path):
     assert got == {("a", "update")}
 
 
+def test_load_resolves_spec_from_table_properties(spark, tmp_path):
+    """A view is self-describing: ``load`` with no spec picks up the
+    group/agg spec stored in the view table's properties at create
+    time, and the spec survives subsequent commits."""
+    base, mv = _mk(spark, tmp_path, ROWS0)
+    mv.refresh()
+    base.merge(_env(spark, [(100, "insert", 9, "d", 2.0, 2)]),
+               stream_id="s", batch_id=1, compact_threshold=None)
+    mv.refresh()  # a second commit — properties must ride it
+    mv2 = MaterializedView.load(spark, mv.table.path, base)
+    assert mv2.group_cols == ["g"]
+    assert mv2.aggs == AGGS
+    assert mv2.name == mv.name
+    assert _norm(mv2.read()) == _norm(mv.read())
+    assert mv2.refresh()["skipped"]  # same cursor, true no-op
+
+
+def test_load_without_stored_spec_needs_explicit_args(spark, tmp_path):
+    """A state table created outside MaterializedView.create (no stored
+    spec) loads only with an explicit spec — and errors clearly
+    otherwise."""
+    base = LakeTable.create(
+        spark, str(tmp_path / "b3"), PAYLOAD, ["k"], num_buckets=4
+    )
+    state = T.StructType([
+        T.StructField("g", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+    LakeTable.create(spark, str(tmp_path / "m3"), state, ["g"],
+                     num_buckets=4)
+    with pytest.raises(ValueError, match="stored spec"):
+        MaterializedView.load(spark, str(tmp_path / "m3"), base)
+    mv = MaterializedView.load(
+        spark, str(tmp_path / "m3"), base, ["g"], {"n": ("count", None)}
+    )
+    assert mv.aggs == {"n": ("count", None)}
+
+
 def test_rejects_non_retractable_aggs(spark, tmp_path):
     base = LakeTable.create(
         spark, str(tmp_path / "b2"), PAYLOAD, ["k"], num_buckets=4
