@@ -170,12 +170,20 @@ def main(argv: list[str] | None = None) -> int:
                           "--create; an existing view loads its stored spec)")
     mvp.add_argument("--agg", action="append", default=None,
                      help="aggregate spec name=kind[:column], kind in "
-                          "count|sum|avg (e.g. n=count sum_v=sum:v); "
-                          "repeatable; required with --create")
+                          "count|sum|avg (delta-folded) or min|max "
+                          "(touched-group rescan) — e.g. n=count "
+                          "sum_v=sum:v; repeatable; required with --create")
     mvp.add_argument("--create", action="store_true",
                      help="create the view state table if missing")
     mvp.add_argument("--buckets", type=int, default=16,
                      help="view state bucket count (with --create)")
+    mvp.add_argument("--follow", action="store_true",
+                     help="continuous maintenance: poll the base and "
+                          "refresh on every new commit")
+    mvp.add_argument("--poll", type=float, default=5.0,
+                     help="--follow poll interval seconds when caught up")
+    mvp.add_argument("--timeout", type=float, default=None,
+                     help="stop --follow after this many seconds")
     mvp.add_argument("--cores", type=int, default=None)
 
     imp = sub.add_parser("import", help="file -> table upsert (reference Import)")
@@ -362,7 +370,10 @@ def main(argv: list[str] | None = None) -> int:
             # existing view: spec comes from its stored table
             # properties unless explicitly overridden
             mv = MaterializedView.load(spark, args.view, base, group, aggs)
-        res = mv.refresh()
+        if args.follow:
+            res = mv.follow(poll_sec=args.poll, timeout_sec=args.timeout)
+        else:
+            res = mv.refresh()
         res["groups_estimate"] = mv.table.refresh().count(estimate=True)
         print(json.dumps(res))
         return 0

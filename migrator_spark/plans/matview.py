@@ -23,13 +23,21 @@ engine's own primitives:
   and merges the new absolute rows back; groups whose live-row count
   reaches zero are deleted. Refresh cost is O(changed groups).
 
-Supported aggregates are the RETRACTABLE (abelian-group) ones —
-``count`` (rows or non-null), ``sum``, ``avg`` (maintained as
-sum+count state, exposed as the ratio) — exactly the set counting IVM
-maintains without re-reading the base. ``min``/``max`` are not
-retractable (a deleted minimum forces a per-group re-scan); they need
-an affected-group recompute strategy and are rejected loudly rather
-than implemented slowly.
+Two maintenance strategies, chosen per view by its aggregate set:
+
+- **signed-delta fold** for the RETRACTABLE (abelian-group)
+  aggregates — ``count`` (rows or non-null), ``sum``, ``avg``
+  (maintained as sum+count state, exposed as the ratio). Refresh
+  never re-reads the base: O(changed groups).
+- **touched-group rescan** when the view includes a non-retractable
+  aggregate (``min``/``max`` — a deleted minimum cannot be folded
+  out). The feed still provides the TOUCHED group set (pre-images
+  catch groups whose rows all moved away); those groups — and only
+  those — are recomputed absolutely from the base's current state
+  (projection-pushed read, broadcast semi-join filter). The classic
+  partial-recompute strategy (Gupta/Mumick "unaffordable deltas"):
+  O(base rows in touched groups) instead of O(base), the honest
+  price of min/max.
 
 Offsets: each refresh stamps its envelope rows
 ``head * 2^32 + pmod(xxhash64(group_key), 2^32)`` — deterministic
@@ -64,6 +72,10 @@ ROWS_COL = "_mv_rows"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+_RETRACTABLE = ("count", "sum", "avg")
+_RESCAN = ("min", "max")
+
+
 def _normalize_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
     out: dict[str, tuple[str, str | None]] = {}
     for name, spec in aggs.items():
@@ -71,13 +83,12 @@ def _normalize_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
             kind, col = spec, None
         else:
             kind, col = spec
-        if kind not in ("count", "sum", "avg"):
+        if kind not in _RETRACTABLE + _RESCAN:
             raise ValueError(
-                f"agg {name!r}: kind {kind!r} not retractable — counting "
-                "IVM maintains count/sum/avg; min/max need an "
-                "affected-group recompute (not implemented)"
+                f"agg {name!r}: unknown kind {kind!r} (want one of "
+                f"{_RETRACTABLE + _RESCAN})"
             )
-        if kind in ("sum", "avg") and col is None:
+        if kind != "count" and col is None:
             raise ValueError(f"agg {name!r}: {kind} needs a column")
         out[str(name)] = (kind, col)
     return out
@@ -190,12 +201,18 @@ class MaterializedView:
         if kind == "count":
             return [(name, T.LongType())]
         in_t = by_name[col].dataType
+        if kind in _RESCAN:
+            return [(name, in_t)]
         sum_t = (
             T.LongType() if isinstance(in_t, _INTEGRAL) else T.DoubleType()
         )
         if kind == "sum":
             return [(name, sum_t)]
         return [(name + "__sum", T.DoubleType()), (name + "__cnt", T.LongType())]
+
+    @property
+    def _needs_rescan(self) -> bool:
+        return any(kind in _RESCAN for kind, _ in self.aggs.values())
 
     def _state_names(self) -> list[str]:
         by_name = {f.name: f for f in self.base.schema.fields}
@@ -225,6 +242,10 @@ class MaterializedView:
                     F.coalesce(F.sum(F.col(col)), F.lit(0))
                     .cast(sum_t).alias(name)
                 )
+            elif kind == "min":
+                exprs.append(F.min(F.col(col)).alias(name))
+            elif kind == "max":
+                exprs.append(F.max(F.col(col)).alias(name))
             else:  # avg
                 exprs.append(
                     F.coalesce(F.sum(F.col(col)), F.lit(0))
@@ -301,7 +322,9 @@ class MaterializedView:
         ``mode``: "noop" (base hasn't moved), "full" (initial fill, or
         the cursor's base snapshot was vacuumed — recompute +
         anti-join deletes, converges regardless of the gap),
-        "incremental" (signed-delta fold of the pre/post feed)."""
+        "incremental" (signed-delta fold of the pre/post feed), or
+        "rescan" (views with min/max: absolute recompute of exactly
+        the touched groups)."""
         base = self.base = self.base.refresh()
         head = base.version
         cur = self.cursor()
@@ -316,6 +339,8 @@ class MaterializedView:
                 feed = None  # cursor snapshot expired -> full resync
         if feed is None:
             env, mode = self._full_envelope(base, head), "full"
+        elif self._needs_rescan:
+            env, mode = self._rescan_envelope(base, feed, head), "rescan"
         else:
             env, mode = self._delta_envelope(base, feed, head), "incremental"
         if env is None:
@@ -437,6 +462,110 @@ class MaterializedView:
             return env
         finally:
             delta.unpersist()
+
+    def _rescan_envelope(self, base: LakeTable, feed: DataFrame,
+                         head: int) -> DataFrame | None:
+        """Touched-group RESCAN for views with non-retractable
+        aggregates (min/max): the pre/post feed supplies only the set
+        of groups any change touched (pre-images catch groups whose
+        rows all left); those groups are recomputed absolutely from
+        the base's current state. Base read is projection-pushed to
+        group+measure columns and filtered by a broadcast semi-join on
+        the touched set — O(base rows in touched groups). The view-side
+        read for vanish detection is manifest-pruned to the touched
+        groups' buckets, like the delta fold."""
+        touched = feed.select(*self.group_cols).distinct().persist()
+        try:
+            if not touched.head(1):
+                return None
+            src = base.read(
+                columns=self.group_cols + self._measure_cols()
+            ).alias("s")
+            part = src.join(
+                F.broadcast(touched.alias("t")),
+                on=self._null_safe_cond("s", "t"),
+                how="left_semi",
+            )
+            absolute = (
+                part.groupBy(*self.group_cols)
+                .agg(*self._absolute_exprs())
+                .persist()
+            )
+            ups = absolute.select(
+                self._offset_expr(head),
+                F.lit("update").alias("op"),
+                *[F.col(c) for c in self.group_cols + self._state_names()],
+            )
+            # touched groups the view holds that the base no longer
+            # produces -> deletes (view read pruned to their buckets)
+            affected = sorted(
+                r["_wb"]
+                for r in touched.select(
+                    bucket_expr(self.group_cols, self.table.num_buckets)
+                    .alias("_wb")
+                ).distinct().collect()
+            )
+            have = self.table.read(
+                buckets=affected, columns=self.group_cols
+            ).alias("h")
+            have_touched = have.join(
+                F.broadcast(touched.alias("t")),
+                on=self._null_safe_cond("h", "t"),
+                how="left_semi",
+            ).select(*self.group_cols).alias("h")
+            gone = have_touched.join(
+                absolute.select(*self.group_cols).alias("a"),
+                on=self._null_safe_cond("h", "a"),
+                how="left_anti",
+            ).select(*[F.col(f"h.{c}").alias(c) for c in self.group_cols])
+            dels = gone.select(
+                self._offset_expr(head),
+                F.lit("delete").alias("op"),
+                *[
+                    F.col(c) if c in self.group_cols
+                    else F.lit(None).cast(
+                        self.table.schema[c].dataType
+                    ).alias(c)
+                    for c in self.group_cols + self._state_names()
+                ],
+            )
+            env = ups.unionByName(dels).persist()
+            env.count()  # pin before the absolute cache is released
+            absolute.unpersist()
+            return env
+        finally:
+            touched.unpersist()
+
+    # ------------------------------------------------------------ follow
+    def follow(self, poll_sec: float = 5.0,
+               timeout_sec: float | None = None,
+               max_refreshes: int | None = None,
+               **merge_kwargs) -> dict:
+        """CONTINUOUS maintenance: poll the base head and refresh on
+        every new commit — the view-level analogue of
+        :func:`plans.replicate.replicate_follow` (each iteration is
+        one manifest JSON read when the base hasn't moved). Sleeps
+        ``poll_sec`` only when caught up; stops after ``timeout_sec``
+        (None = forever) or ``max_refreshes`` non-skipped refreshes.
+        Returns ``{"refreshes", "polls", "last"}``."""
+        import time
+
+        t0 = time.monotonic()
+        applied = 0
+        polls = 0
+        last: dict = {}
+        while True:
+            last = self.refresh(**merge_kwargs)
+            polls += 1
+            if not last["skipped"]:
+                applied += 1
+                if max_refreshes is not None and applied >= max_refreshes:
+                    break
+                continue  # folded one span: immediately re-check
+            if timeout_sec is not None and time.monotonic() - t0 >= timeout_sec:
+                break
+            time.sleep(poll_sec)
+        return {"refreshes": applied, "polls": polls, "last": last}
 
     # ------------------------------------------------------------ read
     def read(self) -> DataFrame:

@@ -237,14 +237,127 @@ def test_load_without_stored_spec_needs_explicit_args(spark, tmp_path):
     assert mv.aggs == {"n": ("count", None)}
 
 
-def test_rejects_non_retractable_aggs(spark, tmp_path):
+def test_rejects_unknown_agg_kind(spark, tmp_path):
     base = LakeTable.create(
         spark, str(tmp_path / "b2"), PAYLOAD, ["k"], num_buckets=4
     )
-    with pytest.raises(ValueError, match="retractable"):
+    with pytest.raises(ValueError, match="unknown kind"):
         MaterializedView.create(
-            spark, str(tmp_path / "m2"), base, ["g"], {"m": ("min", "x")}
+            spark, str(tmp_path / "m2"), base, ["g"], {"m": ("median", "x")}
         )
+
+
+AGGS_MM = {
+    "n": ("count", None),
+    "mn": ("min", "x"),
+    "mx": ("max", "y"),
+    "sx": ("sum", "x"),
+}
+
+
+def _recompute_mm(base):
+    return base.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("mn"),
+        F.max("y").alias("mx"),
+        F.coalesce(F.sum("x"), F.lit(0.0)).alias("sx"),
+    )
+
+
+def _assert_matches_mm(mv):
+    got = _norm(mv.read().select("g", "n", "mn", "mx", "sx"))
+    want = _norm(_recompute_mm(mv.base))
+    assert got == want
+
+
+def test_minmax_rescan_mode(spark, tmp_path):
+    """min/max views refresh via touched-group rescan: retracting the
+    group minimum, emptying a group, and untouched groups staying
+    byte-identical all hold."""
+    base = LakeTable.create(
+        spark, str(tmp_path / "mmb"), PAYLOAD, ["k"], num_buckets=8
+    )
+    base.merge(_env(spark, ROWS0), stream_id="s", batch_id=0,
+               compact_threshold=None)
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mmv"), base, ["g"], AGGS_MM, num_buckets=4
+    )
+    assert mv.refresh()["mode"] == "full"
+    _assert_matches_mm(mv)
+    v_after_fill = mv.table.version
+    # delete the row holding group a's min x (k0, x=1.0) -> min must
+    # climb; delete ALL of group c -> view row vanishes; b untouched
+    base.merge(
+        _env(spark, [
+            (100, "delete", 0, None, None, None),
+            (101, "delete", 4, None, None, None),
+        ]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    r = mv.refresh()
+    assert r["mode"] == "rescan"
+    _assert_matches_mm(mv)
+    assert mv.read().filter(F.col("g") == "c").count() == 0
+    # untouched group b emitted no change: the view's own feed over
+    # this refresh names only the touched groups
+    ch = mv.table.changes(v_after_fill)
+    assert {r["g"] for r in ch.collect()} == {"a", "c"}
+
+
+def test_follow_tracks_live_writer(spark, tmp_path):
+    """Continuous maintenance: a writer commits to the base WHILE
+    follow() polls — the view converges without missing a span."""
+    import threading
+    import time
+
+    base, mv = _mk(spark, tmp_path, ROWS0)
+
+    def writer():
+        t = LakeTable.load(spark, str(tmp_path / "base"))
+        t.merge(_env(spark, [(100, "update", 0, "b", 1.5, 11)]),
+                stream_id="s", batch_id=1, compact_threshold=None)
+        time.sleep(0.5)
+        t.merge(_env(spark, [(101, "delete", 4, None, None, None),
+                             (102, "insert", 6, "e", 7.0, 70)]),
+                stream_id="s", batch_id=2, compact_threshold=None)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    res = mv.follow(poll_sec=0.3, timeout_sec=25)
+    th.join()
+    mv.refresh()  # one final pass if the last commit landed post-timeout
+    assert res["refreshes"] >= 1
+    _assert_matches(mv)
+
+
+def test_minmax_randomized_matches_recompute(spark, tmp_path):
+    rng = random.Random(11)
+    base = LakeTable.create(
+        spark, str(tmp_path / "rmb"), PAYLOAD, ["k"], num_buckets=8
+    )
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "rmv"), base, ["g"], AGGS_MM, num_buckets=4
+    )
+    groups = ["a", "b", None]
+    off = 0
+    for batch in range(3):
+        rows = []
+        for _ in range(rng.randint(3, 10)):
+            k = rng.randint(0, 7)
+            op = rng.choice(["insert", "update", "delete"])
+            if op == "delete":
+                rows.append((off, op, k, None, None, None))
+            else:
+                rows.append((
+                    off, op, k, rng.choice(groups),
+                    rng.choice([None, round(rng.uniform(-5, 5), 3)]),
+                    rng.choice([None, rng.randint(-100, 100)]),
+                ))
+            off += 1
+        base.merge(_env(spark, rows), stream_id="s", batch_id=batch,
+                   compact_threshold=None)
+        mv.refresh()
+        _assert_matches_mm(mv)
 
 
 def test_randomized_interleavings_match_recompute(spark, tmp_path):
