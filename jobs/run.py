@@ -108,6 +108,21 @@ def main(argv: list[str] | None = None) -> int:
                         "for sessions without Python workers)")
     n.add_argument("--cores", type=int, default=None)
 
+    gp = sub.add_parser(
+        "get",
+        help="point lookup by key: prunes to the keys' buckets and "
+             "pushes the key filter into the parquet scans (row-group "
+             "stats + dictionary pruning) — a key-value get, not a scan",
+    )
+    gp.add_argument("--table", required=True)
+    gp.add_argument("--key", action="append", required=True,
+                    help="key value (repeatable); composite keys "
+                         "comma-separated in key-column order; numeric "
+                         "key columns are cast from the string")
+    gp.add_argument("--columns", default=None,
+                    help="comma-separated projection (default: all)")
+    gp.add_argument("--cores", type=int, default=None)
+
     ch = sub.add_parser(
         "changes",
         help="change data feed between two snapshot versions (CDF): "
@@ -269,6 +284,51 @@ def main(argv: list[str] | None = None) -> int:
         if args.accurate:
             out["accurate"] = table.count(resolve=args.resolve)
         print(json.dumps(out))
+        return 0
+
+    if args.mode == "get":
+        from pyspark.sql import types as _T
+
+        from migrator_spark.plans.laketable import LakeTable
+        from migrator_spark.session import get_spark
+
+        spark = get_spark("migrator-get", cores=args.cores)
+        table = LakeTable.load(spark, args.table)
+        key_fields = [table.schema[c] for c in table.key_cols]
+
+        def cast_one(s: str, dt):
+            if s == "":
+                return None
+            if isinstance(dt, (_T.ByteType, _T.ShortType,
+                               _T.IntegerType, _T.LongType)):
+                return int(s)
+            if isinstance(dt, (_T.FloatType, _T.DoubleType)):
+                return float(s)
+            if isinstance(dt, _T.BooleanType):
+                return s.lower() in ("1", "true", "t", "yes")
+            return s
+
+        keys = []
+        for spec in args.key:
+            parts = spec.split(",")
+            if len(parts) != len(key_fields):
+                raise SystemExit(
+                    f"key {spec!r} has {len(parts)} values; table key is "
+                    f"{table.key_cols}"
+                )
+            t = tuple(
+                cast_one(p, f.dataType) for p, f in zip(parts, key_fields)
+            )
+            keys.append(t[0] if len(t) == 1 else t)
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns else None
+        )
+        rows = table.lookup(keys, columns=cols).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"requested": len(keys), "found": len(rows)}),
+              file=sys.stderr)
         return 0
 
     if args.mode == "changes":

@@ -1130,6 +1130,43 @@ FROM (
 ) WHERE rn = 1 AND op <> 'delete'
 """
 
+# fixed, sf-independent probe set: present keys return their LWW row,
+# absent/deleted keys are simply missing on BOTH engines
+LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+
+
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT LOOKUP through the engine (``LakeTable.lookup`` — the
+    reference's Fetch-by-IDs, mongo.go ``{_id: {$in: ids}}``): apply
+    the envelope, then fetch a fixed key set. The plan prunes to the
+    keys' buckets and pushes the key filter into the parquet scans
+    (row-group stats + dictionary pruning) — a key-value get, not a
+    table scan. Oracle: the LWW fold restricted to the same keys."""
+    table, _ = _cdc_two_batch_table(spark, sf_dir)
+    out = table.lookup(LOOKUP_KEYS).select(
+        "key",
+        F.col("_last_offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    # TEST-HARNESS ONLY: pin before the tempdir goes out of scope
+    out = out.cache()
+    out.count()
+    return out
+
+
+SQL_CDC_POINT_LOOKUP = EV_CTE + """
+SELECT key,
+       ev_offset AS last_offset,
+       value AS last_value,
+       props AS last_props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ev_offset DESC) AS rn
+  FROM ev
+) WHERE rn = 1 AND op <> 'delete'
+  AND key IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+"""
+
 
 def q_cdc_replicate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPLICATION CHAIN through the engine: apply the envelope to
@@ -1616,6 +1653,7 @@ QUERIES = {
     "cdc_patch_final_state": q_cdc_patch_final_state,
     "cdc_patch_set_null": q_cdc_patch_set_null,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_changes_feed": q_cdc_changes_feed,
     "cdc_changes_pre_post": q_cdc_changes_pre_post,
     "mv_incremental_agg": q_mv_incremental_agg,
@@ -1659,6 +1697,7 @@ ORACLES = {
     "cdc_patch_final_state": SQL_CDC_PATCH_FINAL_STATE,
     "cdc_patch_set_null": SQL_CDC_PATCH_SET_NULL,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+    "cdc_point_lookup": SQL_CDC_POINT_LOOKUP,
     "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
     "cdc_changes_pre_post": SQL_CDC_CHANGES_PRE_POST,
     "mv_incremental_agg": SQL_MV_INCREMENTAL_AGG,

@@ -1,0 +1,175 @@
+"""Point lookup (``LakeTable.lookup``): bucket-pruned, filter-pushed
+fetch by key — the reference's Fetch-by-IDs (mongo.go ``{_id: {$in:
+ids}}``) against the merge-on-read sink. The invariant every test
+pins: ``lookup(keys)`` row-for-row equals ``read()`` filtered to the
+same keys, across deletes, replays, compaction, schema evolution,
+composite and NULL keys.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import LakeTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("g", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op string, k long, g string, v long"
+    )
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+def _mk(spark, tmp_path, buckets=8):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, ["k"], num_buckets=buckets
+    )
+    t.merge(
+        _env(spark, [(i, "insert", i, chr(97 + i % 3), i * 10)
+                     for i in range(20)]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    t.merge(
+        _env(spark, [(100, "update", 3, "z", 999),
+                     (101, "delete", 5, None, None)]),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    return t
+
+
+def _read_subset(t, keys, columns=None):
+    df = t.read(columns=columns)
+    return df.filter(F.col("k").isin(keys)) if columns is None or "k" in (
+        columns or []
+    ) else t.read().filter(F.col("k").isin(keys)).select(*columns)
+
+
+def test_lookup_matches_read_filter(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    keys = [3, 5, 7, 999]
+    got = _rows(t.lookup(keys))
+    want = _rows(t.read().filter(F.col("k").isin(keys)))
+    assert got == want
+    assert len(got) == 2  # 5 deleted, 999 never existed
+
+
+def test_lookup_projection(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    got = _rows(t.lookup([3, 7], columns=["g", "v"]))
+    want = _rows(t.read().filter(F.col("k").isin([3, 7])).select("g", "v"))
+    assert got == want
+
+
+def test_lookup_empty_and_all_missing(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.lookup([]).count() == 0
+    assert t.lookup([777, 888]).count() == 0
+    assert [f.name for f in t.lookup([]).schema.fields] == [
+        f.name for f in t.read().schema.fields
+    ]
+
+
+def test_lookup_survives_compaction(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _rows(t.lookup([0, 3, 5, 19]))
+    t.compact()
+    t = t.refresh()
+    assert _rows(t.lookup([0, 3, 5, 19])) == before
+
+
+def test_lookup_additive_evolution(spark, tmp_path):
+    """Keys written before an added column come back null-padded."""
+    t = _mk(spark, tmp_path)
+    env = spark.createDataFrame(
+        [(200, "insert", 50, "n", 500, "extra")],
+        "offset long, op string, k long, g string, v long, w string",
+    )
+    t.merge(env, stream_id="s", batch_id=2, compact_threshold=None)
+    got = _rows(t.lookup([3, 50]))
+    want = _rows(t.read().filter(F.col("k").isin([3, 50])))
+    assert got == want
+    by_k = {r[0]: r for r in got}
+    assert by_k[3][3] is None  # pre-evolution row: w is null
+    assert by_k[50][3] == "extra"
+
+
+def test_lookup_composite_key(spark, tmp_path):
+    payload = T.StructType(
+        [
+            T.StructField("a", T.StringType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "c"), payload, ["a", "b"], num_buckets=4
+    )
+    env = spark.createDataFrame(
+        [(i, "insert", chr(97 + i % 2), i % 3, i) for i in range(12)],
+        "offset long, op string, a string, b long, v long",
+    )
+    t.merge(env, stream_id="s", batch_id=0, compact_threshold=None)
+    # per-column IN is a superset: ("a",0) and ("b",1) requested must
+    # NOT surface ("a",1) / ("b",0)
+    got = _rows(t.lookup([("a", 0), ("b", 1)]))
+    want = _rows(
+        t.read().filter(
+            ((F.col("a") == "a") & (F.col("b") == 0))
+            | ((F.col("a") == "b") & (F.col("b") == 1))
+        )
+    )
+    assert got == want and len(got) == 2
+
+
+def test_lookup_null_key_value(spark, tmp_path):
+    """A NULL key value disables that column's parquet pushdown but
+    still matches exactly (SQL GROUP BY key semantics)."""
+    payload = T.StructType(
+        [
+            T.StructField("g", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "n"), payload, ["g"], num_buckets=4
+    )
+    env = spark.createDataFrame(
+        [(1, "insert", None, 5), (2, "insert", "a", 7), (3, "insert", "b", 9)],
+        "offset long, op string, g string, n long",
+    )
+    t.merge(env, stream_id="s", batch_id=0, compact_threshold=None)
+    got = _rows(t.lookup([None, "a"]))
+    assert [(r[0], r[1]) for r in got] == [("a", 7), (None, 5)] or [
+        (r[0], r[1]) for r in got
+    ] == [(None, 5), ("a", 7)]
+    assert len(got) == 2
+
+
+def test_lookup_rejects_bad_input(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="has 2 values"):
+        t.lookup([(1, 2)])
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.lookup([1], columns=["nope"])
+
+
+def test_lookup_plan_no_exchange(spark, tmp_path):
+    """The lookup plan is pure task-parallel: per-bucket file lists in,
+    rows out — no Exchange, no Join, no Aggregate."""
+    t = _mk(spark, tmp_path)
+    plan = t.lookup([3, 7])._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
+               "HashAggregate"):
+        assert op not in plan, f"{op} in lookup plan:\n{plan}"
+    assert "MapInArrow" in plan
