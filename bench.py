@@ -596,6 +596,14 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
         out["ann_recall_at_10"] = float(rec["recall"])
     except Exception as e:
         out["ann_recall_error"] = str(e)[-200:]
+    # same gate for the IVF index (overlap of ann_ivf_topk with the
+    # exact brute-force top-10)
+    try:
+        exact = {r["vec_id"] for r in qs["embedding_topk"](spark, SF_DIR).collect()}
+        ivf = {r["vec_id"] for r in qs["ann_ivf_topk"](spark, SF_DIR).collect()}
+        out["ivf_recall_at_10"] = round(len(exact & ivf) / 10.0, 4)
+    except Exception as e:
+        out["ivf_recall_error"] = str(e)[-200:]
     # North-rule evidence in every per-round record: the same CDC job
     # at N and 4N executor JVMs (fresh subprocesses, CPU-capped).
     # Skippable for quick local iterations via SPARK_GRAFT_SKIP_SCALING.

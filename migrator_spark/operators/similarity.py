@@ -826,3 +826,145 @@ def cosine_topk_lsh(
     bucketed = df.withColumn("_lsh", lsh_udf(F.col(vec_col)))
     pruned = bucketed.filter(F.col("_lsh").isin(cand_buckets))
     return cosine_topk_bruteforce(pruned, query_vec, id_col, vec_col, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+#
+# The LSH index above partitions by hyperplane sign bits; IVF is the
+# other canonical ANN layout: a small coarse-quantizer table of
+# centroids, every vector stored in the inverted list (= parquet
+# partition) of its nearest centroid, and a query probing only the
+# nprobe nearest lists. At 100 TB the centroid table stays tiny
+# (sqrt(N)-ish cells), assignment is a broadcast join + one map-side-
+# combined argmax (one shuffle, the same one the partitioned write
+# needs anyway), and a probe reads nprobe/num_cells of the data via
+# partition pruning — no full scan, no per-query shuffle.
+#
+# Determinism/oracle story: the coarse quantizer here is "the first
+# num_cells corpus vectors", not k-means — real deployments would
+# train centroids, but the DATAFLOW (broadcast-score, argmax, pruned
+# probe) is identical and this choice lets a DuckDB oracle replicate
+# assignment, probe choice and pruning exactly. Similarities are
+# quantized to integers (floor(sim * 1e6)) before every argmax/rank
+# so a sub-ulp float divergence between engines can never flip an
+# assignment or a probe set (same fix the scored-LSH probes use).
+
+
+def _dot_expr(a, b):
+    """Sequential left-fold dot product — bit-identical to DuckDB's
+    list_dot_product and the driver-side :func:`_fold_dot`."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _qsim_expr(v, c):
+    """floor(cosine(v, c) * 1e6) as a long — the quantized similarity
+    every IVF decision ranks on."""
+    raw = _dot_expr(v, c) / (F.sqrt(_dot_expr(v, v)) * F.sqrt(_dot_expr(c, c)))
+    return F.floor(raw * F.lit(1_000_000.0)).cast("long")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max quantized
+    cosine, ties to the lowest cell id) — broadcast the centroid
+    table, score map-side, one map-side-combined argmax groupBy.
+    ``centroids`` must have columns (``cell`` int, ``cvec``
+    array<double>); the result is ``df``'s columns plus ``cell``.
+
+    No join-back: the argmax carries the full row as the struct
+    payload (the (sim, -cell) prefix already decides the order, so
+    the payload never participates in comparison)."""
+    payload = F.struct(*[F.col(c) for c in df.columns]).alias("row")
+    scored = (
+        df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _qsim_expr(F.col("_v"), F.col("cvec")))
+    )
+    best = scored.groupBy(F.col(id_col).alias("_id")).agg(
+        F.max(
+            F.struct(F.col("_sim").alias("s"), (-F.col("cell")).alias("nc"), payload)
+        ).alias("m")
+    )
+    return best.select((-F.col("m.nc")).cast("int").alias(cell_col), "m.row.*")
+
+
+def corpus_centroids(
+    df: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic coarse quantizer: the ``num_cells``
+    lowest-id corpus vectors (see module comment — swap in k-means
+    output at deployment; the dataflow is unchanged)."""
+    return df.filter(F.col(id_col) < num_cells).select(
+        F.col(id_col).cast("int").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted lists: one parquet partition per cell
+    (``cell=`` directories → partition pruning at probe time), plus
+    the coarse quantizer itself at ``<index>/_centroids`` so a query
+    never scans data partitions to recover it."""
+    centroids.write.mode("overwrite").parquet(os.path.join(index_path, "_centroids"))
+    (
+        ivf_assign(df, centroids, id_col, vec_col)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(index_path, "lists"))
+    )
+
+
+def ivf_probe_cells(query_vec: list[float], centroid_rows: list[tuple[int, list[float]]],
+                    nprobe: int = 4) -> list[int]:
+    """Driver-side probe choice over the tiny centroid table: rank by
+    quantized cosine (same floor-scaled integers as
+    :func:`_qsim_expr`), ties to the lowest cell id."""
+    import math
+
+    qq = _fold_dot(query_vec, query_vec)
+    scored = []
+    for cell, cvec in centroid_rows:
+        raw = _fold_dot(query_vec, cvec) / (math.sqrt(_fold_dot(cvec, cvec)) * math.sqrt(qq))
+        scored.append((-math.floor(raw * 1_000_000.0), int(cell)))
+    return [c for _, c in sorted(scored)[: max(1, nprobe)]]
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: read the ≤num_cells-row quantizer, pick the
+    nprobe nearest cells driver-side, and exact-rank ONLY those
+    partitions (the ``cell`` filter is a partition filter — unprobed
+    inverted lists are never read)."""
+    cent = [
+        (r["cell"], list(r["cvec"]))
+        for r in spark.read.parquet(os.path.join(index_path, "_centroids")).collect()
+    ]
+    cells = ivf_probe_cells(query_vec, cent, nprobe)
+    idx = spark.read.parquet(os.path.join(index_path, "lists")).filter(
+        F.col("cell").isin(cells)
+    )
+    return cosine_topk_bruteforce(idx, query_vec, id_col, vec_col, k)

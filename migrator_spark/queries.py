@@ -936,6 +936,77 @@ JOIN ({SQL_ANN_LSH_TOPK}) a USING (vec_id)
 """
 
 
+IVF_CELLS = 16   # coarse-quantizer size (sqrt(N)-ish at real scale)
+IVF_NPROBE = 4   # inverted lists probed per query -> reads ~4/16 = 25%
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 neighbours of vec 0 over a PREBUILT IVF index — the
+    coarse-quantizer counterpart to the hyperplane-LSH index: every
+    vector is stored in the inverted list (parquet ``cell=``
+    partition) of its nearest centroid, a query ranks the tiny
+    quantizer table and exact-ranks ONLY the IVF_NPROBE nearest lists
+    (partition pruning — unprobed lists are never read). Centroids are
+    the IVF_CELLS lowest-id corpus vectors and every argmax/rank runs
+    on floor(cos*1e6) integers, so the DuckDB oracle replicates
+    assignment, probe choice AND pruning exactly — the approximate
+    semantics are hash-checked, not trusted (see
+    operators/similarity.py, IVF section)."""
+    import hashlib
+    import tempfile
+
+    from migrator_spark.operators.similarity import (
+        build_ivf_index,
+        corpus_centroids,
+        ivf_query,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(
+        (n, os.path.getsize(os.path.join(src, n)), os.path.getmtime(os.path.join(src, n)))
+        for n in os.listdir(src)
+    ) if os.path.isdir(src) else [(src, os.path.getsize(src), os.path.getmtime(src))]
+    fp = hashlib.md5(repr((os.path.abspath(sf_dir), parts)).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"migrator-ann-ivf-{fp}")
+    if not os.path.exists(os.path.join(idx, "lists", "_SUCCESS")):
+        build_ivf_index(
+            e.filter(F.col("vec_id") != 0),
+            corpus_centroids(e, num_cells=IVF_CELLS),
+            idx,
+        )
+    return ivf_query(spark, idx, qv, k=10, nprobe=IVF_NPROBE)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c AS (SELECT CAST(vec_id AS INTEGER) AS cell, emb AS cvec FROM v WHERE vec_id < {IVF_CELLS}),
+q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM c, q
+  ORDER BY CAST(FLOOR(list_dot_product(cvec, qv)
+                / (sqrt(list_dot_product(cvec, cvec)) * sqrt(list_dot_product(qv, qv)))
+                * 1000000.0) AS BIGINT) DESC, cell ASC
+  LIMIT {IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             CAST(FLOOR(list_dot_product(v.emb, c.cvec)
+                  / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cvec, c.cvec)))
+                  * 1000000.0) AS BIGINT) DESC, c.cell ASC) AS rn
+    FROM v, c WHERE v.vec_id <> 0) WHERE rn = 1
+)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.emb, qv)
+             / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM v JOIN assign USING (vec_id) JOIN probe USING (cell), q
+ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
     blocking + exact cosine verify (operators/similarity.py). The md5
@@ -1004,6 +1075,38 @@ SQL_MULTIMODAL_IMAGE_FEATURES = """
 SELECT d AS doc_id,
        16 AS width, 16 AS height, 1 AS channels,
        ROUND(AVG(CAST((d * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_luma
+FROM (SELECT unnest(range(0, 64)) AS d), (SELECT unnest(range(0, 256)) AS i)
+GROUP BY d
+"""
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary audio column → Arrow mapInPandas decode/feature stage
+    with a REAL pure-numpy RIFF/WAVE PCM16 codec. The corpus samples
+    follow the closed form ((doc_id*13 + i*5) mod 2001) - 1000, so the
+    DuckDB oracle recomputes sample count, duration and mean |sample|
+    without a decoder — chunk walking, fmt parsing and PCM decode are
+    all checked end to end. (Compressed codecs remain the documented
+    librosa/ffmpeg seam; see functions/multimodal.py.)"""
+    from migrator_spark.functions.multimodal import decode_audio_features, make_audio_table
+
+    audio = make_audio_table(spark, n=64, n_samples=256)
+    return (
+        decode_audio_features(audio)
+        .select(
+            "doc_id", "sample_rate", "n_samples",
+            F.round("duration_sec", 6).alias("duration_sec"),
+            F.round("mean_abs", 4).alias("mean_abs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_MULTIMODAL_AUDIO_FEATURES = """
+SELECT d AS doc_id,
+       16000 AS sample_rate, 256 AS n_samples,
+       ROUND(256.0 / 16000.0, 6) AS duration_sec,
+       ROUND(AVG(ABS(CAST((d * 13 + i * 5) % 2001 - 1000 AS DOUBLE))), 4) AS mean_abs
 FROM (SELECT unnest(range(0, 64)) AS d), (SELECT unnest(range(0, 256)) AS i)
 GROUP BY d
 """
@@ -1687,9 +1790,11 @@ QUERIES = {
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall_at_10": q_ann_recall_at_10,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 ORACLES = {
@@ -1731,7 +1836,9 @@ ORACLES = {
     "simhash_dups": SQL_SIMHASH_DUPS,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_recall_at_10": SQL_ANN_RECALL_AT_10,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
+    "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
 }

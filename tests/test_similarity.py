@@ -301,3 +301,80 @@ def test_probe_buckets_scored_large_code_path():
     assert len(probes) == 12
     assert len(set(probes)) == 12
     assert all(0 <= p < (1 << 16) for p in probes)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _py_ivf_cell(vec, cents):
+    """Independent python recompute of the quantized argmax."""
+    import math
+
+    from migrator_spark.operators.similarity import _fold_dot
+
+    best = None
+    for cell, cvec in cents:
+        raw = _fold_dot(vec, cvec) / (
+            math.sqrt(_fold_dot(vec, vec)) * math.sqrt(_fold_dot(cvec, cvec))
+        )
+        key = (-math.floor(raw * 1_000_000.0), cell)
+        if best is None or key < best:
+            best = key
+    return best[1]
+
+
+def test_ivf_assignment_matches_python_fold(spark, vectors):
+    from migrator_spark.operators.similarity import corpus_centroids, ivf_assign
+
+    cents_df = corpus_centroids(vectors, num_cells=8)
+    cents = [(r["cell"], list(r["cvec"])) for r in cents_df.collect()]
+    assigned = ivf_assign(vectors, cents_df)
+    rows = assigned.collect()
+    # every vector assigned exactly once, payload columns intact
+    assert sorted(r["vec_id"] for r in rows) == list(range(50))
+    for r in rows:
+        assert r["cell"] == _py_ivf_cell(list(r["embedding"]), cents)
+    # a centroid's own vector lands in its own cell (self-cos = 1.0 max)
+    by_id = {r["vec_id"]: r["cell"] for r in rows}
+    for c in range(8):
+        assert by_id[c] == c
+
+
+def test_ivf_index_prunes_partitions_and_matches_bruteforce(spark, vectors, tmp_path):
+    from migrator_spark.operators.similarity import (
+        build_ivf_index,
+        corpus_centroids,
+        cosine_topk_bruteforce,
+        ivf_probe_cells,
+        ivf_query,
+    )
+
+    idx = str(tmp_path / "ivfidx")
+    cents_df = corpus_centroids(vectors, num_cells=8)
+    build_ivf_index(vectors, cents_df, idx)
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 16)
+    qv = (base[3] + rng.randn(16) * 0.01).tolist()  # near vector 3
+
+    res = ivf_query(spark, idx, qv, k=5, nprobe=3)
+    rows = res.collect()
+    assert rows and rows[0]["vec_id"] == 3  # top-1 recalled through the lists
+
+    # the probe plan carries the cell partition filter (unprobed
+    # inverted lists are never read), and reads a strict subset
+    cents = [(r["cell"], list(r["cvec"])) for r in cents_df.collect()]
+    cells = ivf_probe_cells(qv, cents, nprobe=3)
+    lists = spark.read.parquet(str(tmp_path / "ivfidx" / "lists"))
+    pruned = lists.filter(F.col("cell").isin(cells))
+    assert 0 < pruned.count() < lists.count() == 50
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "cell#" in plan.split("PartitionFilters")[1][:300]
+
+    # IVF top-k == exact brute force restricted to the probed members
+    want = cosine_topk_bruteforce(pruned, qv, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
