@@ -901,9 +901,11 @@ def corpus_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """The deterministic coarse quantizer: the ``num_cells``
-    lowest-id corpus vectors (see module comment — swap in k-means
-    output at deployment; the dataflow is unchanged)."""
+    """The deterministic coarse quantizer init: the ``num_cells``
+    lowest-id corpus vectors. Pass this directly to
+    :func:`build_ivf_index` for an oracle-replicable index, or through
+    :func:`kmeans_refine` first for a trained quantizer — the index
+    dataflow is identical either way."""
     return df.filter(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("int").alias("cell"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -919,9 +921,11 @@ def build_ivf_index(
 ) -> None:
     """Materialize the inverted lists: one parquet partition per cell
     (``cell=`` directories → partition pruning at probe time), plus
-    the coarse quantizer itself at ``<index>/_centroids`` so a query
-    never scans data partitions to recover it."""
-    centroids.write.mode("overwrite").parquet(os.path.join(index_path, "_centroids"))
+    the coarse quantizer itself at ``<index>/quantizer`` so a query
+    never scans data partitions to recover it (not ``_centroids`` —
+    underscore-prefixed dirs read as hidden metadata on several Spark
+    file-index paths)."""
+    centroids.write.mode("overwrite").parquet(os.path.join(index_path, "quantizer"))
     (
         ivf_assign(df, centroids, id_col, vec_col)
         .repartition(F.col("cell"))
@@ -961,10 +965,67 @@ def ivf_query(
     inverted lists are never read)."""
     cent = [
         (r["cell"], list(r["cvec"]))
-        for r in spark.read.parquet(os.path.join(index_path, "_centroids")).collect()
+        for r in spark.read.parquet(os.path.join(index_path, "quantizer")).collect()
     ]
     cells = ivf_probe_cells(query_vec, cent, nprobe)
     idx = spark.read.parquet(os.path.join(index_path, "lists")).filter(
         F.col("cell").isin(cells)
     )
     return cosine_topk_bruteforce(idx, query_vec, id_col, vec_col, k)
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the IVF coarse quantizer: assign (the same
+    broadcast argmax as :func:`ivf_assign`) then recompute each cell's
+    element-wise mean. Deterministic given a deterministic init (e.g.
+    :func:`corpus_centroids`), so the refined index is reproducible;
+    a cell that loses all members keeps its previous centroid.
+
+    Per iteration: one broadcast score + argmax (one shuffle of N
+    slim rows) and one posexplode mean (one shuffle of N×dim (cell,
+    pos) pairs, map-side combined) — no driver-side data, scales with
+    the corpus. The driver loop holds only the iteration count."""
+    cur = centroids
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(df, cur, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("new_cvec")
+            )
+        )
+        cur = (
+            cur.join(means, "cell", "left")
+            .select("cell", F.coalesce("new_cvec", "cvec").alias("cvec"))
+        )
+        # pin each iteration's quantizer: the next assign must score
+        # against THIS iteration's centroids, not a re-derived lineage
+        cur = cur.localCheckpoint(eager=True)
+    return cur
+
+
+def ivf_objective(df: DataFrame, centroids: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Mean cosine of every vector to its assigned centroid — the
+    quantity Lloyd iterations improve (monotone up to quantization),
+    exposed so index quality is measurable, not assumed."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    scored = (
+        assigned.withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .join(F.broadcast(centroids), "cell")
+        .withColumn("_sim", _qsim_expr(F.col("_v"), F.col("cvec")))
+    )
+    return scored.agg(F.avg(F.col("_sim") / 1_000_000.0)).collect()[0][0]

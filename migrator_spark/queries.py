@@ -970,7 +970,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) if os.path.isdir(src) else [(src, os.path.getsize(src), os.path.getmtime(src))]
     fp = hashlib.md5(repr((os.path.abspath(sf_dir), parts)).encode()).hexdigest()[:12]
     idx = os.path.join(tempfile.gettempdir(), f"migrator-ann-ivf-{fp}")
-    if not os.path.exists(os.path.join(idx, "lists", "_SUCCESS")):
+    if not (
+        os.path.exists(os.path.join(idx, "lists", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "quantizer", "_SUCCESS"))
+    ):
         build_ivf_index(
             e.filter(F.col("vec_id") != 0),
             corpus_centroids(e, num_cells=IVF_CELLS),

@@ -378,3 +378,44 @@ def test_ivf_index_prunes_partitions_and_matches_bruteforce(spark, vectors, tmp_
     assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
         (r["vec_id"], r["cos_sim"]) for r in want
     ]
+
+
+def test_kmeans_refine_improves_quantizer(spark):
+    """Three planted Gaussian clusters, deliberately bad init (three
+    vectors from the SAME cluster): Lloyd iterations must raise the
+    mean vector→centroid cosine and separate the clusters."""
+    from migrator_spark.operators.similarity import (
+        corpus_centroids,
+        ivf_assign,
+        ivf_objective,
+        kmeans_refine,
+    )
+
+    rng = np.random.RandomState(11)
+    cents = rng.randn(3, 8) * 4
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append((int(i + 3), (cents[c] + rng.randn(8) * 0.3).astype(float).tolist()))
+    # ids 0..2: the bad init — three near-identical cluster-0 vectors
+    for i in range(3):
+        rows.append((i, (cents[0] + rng.randn(8) * 0.3).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    init = corpus_centroids(df, num_cells=3)
+    before = ivf_objective(df, init)
+    refined = kmeans_refine(df, init, iters=4)
+    after = ivf_objective(df, refined)
+    assert after > before + 0.05  # material improvement, not noise
+
+    # refined quantizer separates the planted clusters: vectors of one
+    # planted cluster agree on a cell, and the three clusters use
+    # three distinct cells
+    assigned = {r["vec_id"]: r["cell"] for r in ivf_assign(df, refined).collect()}
+    cell_of = {}
+    for i in range(60):
+        cell_of.setdefault(i % 3, []).append(assigned[i + 3])
+    majority = {c: max(set(v), key=v.count) for c, v in cell_of.items()}
+    assert len(set(majority.values())) == 3
+    for c, v in cell_of.items():
+        assert v.count(majority[c]) >= len(v) - 2
