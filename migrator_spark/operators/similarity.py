@@ -26,6 +26,7 @@ SQL-computable so the driver's DuckDB oracle can hash-match results —
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 from collections.abc import Iterator
@@ -596,7 +597,10 @@ def probe_buckets_scored(
     read fraction on the synthetic corpus — BENCH/BASELINE.md).
 
     Determinism contract: each per-bit flip cost is QUANTIZED to an
-    integer (``round(|projection| * 1e6)``) before ranking, and the
+    integer (``floor(|projection| * 1e6)``; floor, not round — Python
+    ``round`` is half-to-even while DuckDB's is half-away-from-zero,
+    so a cost landing exactly on k+0.5 would quantize differently on
+    the two engines) before ranking, and the
     cost is the integer sum over flipped bits in fixed bit order with
     ties on bucket id. Integer sums are exact, so probe choice
     tolerates sub-epsilon float divergence between this fold and the
@@ -608,7 +612,7 @@ def probe_buckets_scored(
     planes = deterministic_planes(len(query_vec), num_bits, plane_prefix)
     qb = query_bucket(query_vec, planes)
     ap = [
-        int(round(abs(_fold_dot(query_vec, planes[b])) * 1e6))
+        int(math.floor(abs(_fold_dot(query_vec, planes[b])) * 1e6))
         for b in range(num_bits)
     ]
     if num_bits <= 12:
@@ -902,13 +906,30 @@ def corpus_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The deterministic coarse quantizer init: the ``num_cells``
-    lowest-id corpus vectors. Pass this directly to
-    :func:`build_ivf_index` for an oracle-replicable index, or through
-    :func:`kmeans_refine` first for a trained quantizer — the index
-    dataflow is identical either way."""
-    return df.filter(F.col(id_col) < num_cells).select(
-        F.col(id_col).cast("int").alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
+    lowest-id corpus vectors, renumbered to cells ``0..n-1`` in id
+    order (NOT ``id < num_cells`` — a corpus whose ids are sparse or
+    don't start at 0 would otherwise yield a short or empty quantizer
+    and silently empty query results). The orderBy+limit is a TakeOrdered
+    over the slim (id, vec) projection and the row_number window holds
+    ``num_cells`` rows — both trivially sized. Pass the result directly
+    to :func:`build_ivf_index` for an oracle-replicable index, or
+    through :func:`kmeans_refine` first for a trained quantizer — the
+    index dataflow is identical either way."""
+    from pyspark.sql import Window
+
+    low = (
+        df.select(
+            F.col(id_col).cast("long").alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .orderBy("_cid")
+        .limit(num_cells)
+    )
+    return low.select(
+        (F.row_number().over(Window.orderBy("_cid")) - 1)
+        .cast("int")
+        .alias("cell"),
+        "cvec",
     )
 
 
@@ -939,15 +960,21 @@ def ivf_probe_cells(query_vec: list[float], centroid_rows: list[tuple[int, list[
                     nprobe: int = 4) -> list[int]:
     """Driver-side probe choice over the tiny centroid table: rank by
     quantized cosine (same floor-scaled integers as
-    :func:`_qsim_expr`), ties to the lowest cell id."""
-    import math
-
+    :func:`_qsim_expr`), ties to the lowest cell id. A zero-norm
+    query or centroid has no defined cosine — it ranks BELOW every
+    real score with ties on cell id, mirroring the executor side
+    where ``_qsim_expr`` yields NULL and NULL loses the argmax
+    (no ZeroDivisionError asymmetry between the two halves)."""
     qq = _fold_dot(query_vec, query_vec)
     scored = []
     for cell, cvec in centroid_rows:
-        raw = _fold_dot(query_vec, cvec) / (math.sqrt(_fold_dot(cvec, cvec)) * math.sqrt(qq))
-        scored.append((-math.floor(raw * 1_000_000.0), int(cell)))
-    return [c for _, c in sorted(scored)[: max(1, nprobe)]]
+        denom = math.sqrt(_fold_dot(cvec, cvec)) * math.sqrt(qq)
+        if denom > 0.0:
+            q = math.floor(_fold_dot(query_vec, cvec) / denom * 1_000_000.0)
+            scored.append((0, -q, int(cell)))
+        else:
+            scored.append((1, 0, int(cell)))
+    return [c for _, _, c in sorted(scored)[: max(1, nprobe)]]
 
 
 def ivf_query(
@@ -983,9 +1010,19 @@ def kmeans_refine(
 ) -> DataFrame:
     """Lloyd refinement of the IVF coarse quantizer: assign (the same
     broadcast argmax as :func:`ivf_assign`) then recompute each cell's
-    element-wise mean. Deterministic given a deterministic init (e.g.
-    :func:`corpus_centroids`), so the refined index is reproducible;
-    a cell that loses all members keeps its previous centroid.
+    element-wise mean. A cell that loses all members keeps its
+    previous centroid.
+
+    Reproducibility caveat: ``F.avg`` accumulates doubles in
+    partition/merge order, so two runs from the identical init can
+    differ in the last ulp and — near an exact assignment tie — flip
+    a vector's cell. The STORED quantizer is therefore the source of
+    truth: :func:`build_ivf_index` persists it next to the lists, and
+    every later assign/probe ranks on floor-quantized integers against
+    that persisted copy, so a built index is bit-stable regardless of
+    how its training run accumulated. (Exact replay of training
+    itself would need a fixed-order fold — not worth a per-row sort
+    for a coarse quantizer.)
 
     Per iteration: one broadcast score + argmax (one shuffle of N
     slim rows) and one posexplode mean (one shuffle of N×dim (cell,

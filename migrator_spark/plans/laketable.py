@@ -604,6 +604,14 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                 sdf = pd.DataFrame(
                     {c: slim.column(c).to_pandas() for c in slim_cols}
                 )
+                # Nullable extension dtypes, NOT numpy: the outer merge
+                # below introduces missing values, and numpy int64 would
+                # coerce to float64 — offsets >= 2^53 (ns-epoch
+                # producers, matview head<<32 stamps) would round
+                # silently and the diff would mis-classify updates or
+                # hand _emit_rows an offset that matches no file row.
+                sdf[offset_col] = sdf[offset_col].astype("Int64")
+                sdf[deleted_col] = sdf[deleted_col].astype("boolean")
                 fidx = np.repeat(
                     np.arange(len(all_files)), [t.num_rows for t in parts]
                 )
@@ -629,22 +637,29 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                 )
                 if m.empty:
                     continue
-                has_o = m[off_o].notna()
-                has_n = m[off_n].notna()
-                o_live = has_o & ~m[del_o].eq(True)
-                n_live = has_n & ~m[del_n].eq(True)
+                # classify on plain numpy (exact int64 + explicit NA
+                # masks pulled off the extension columns)
+                has_o = m[off_o].notna().to_numpy()
+                has_n = m[off_n].notna().to_numpy()
+                o_off = m[off_o].fillna(-1).to_numpy(np.int64)
+                n_off = m[off_n].fillna(-1).to_numpy(np.int64)
+                o_del = m[del_o].fillna(False).to_numpy(bool)
+                n_del = m[del_n].fillna(False).to_numpy(bool)
+                o_live = has_o & ~o_del
+                n_live = has_n & ~n_del
                 ins = ~o_live & n_live
-                upd = o_live & n_live & (m[off_o] != m[off_n])
+                upd = o_live & n_live & (o_off != n_off)
                 dele = o_live & ~n_live
-                emitsel = m[ins | upd]
+                emit_mask = ins | upd
+                emitsel = m[emit_mask]
                 if len(emitsel):
-                    woff = emitsel[off_n].to_numpy(np.int64)
+                    woff = n_off[emit_mask]
                     worder = np.argsort(woff, kind="stable")
                     wsorted = woff[worder]
                     wkeys = [emitsel[k].to_numpy() for k in key_names]
                     upd_lbl = "update_postimage" if image == "both" else "update"
                     labels = np.where(
-                        ins.loc[emitsel.index].to_numpy(), "insert", upd_lbl
+                        ins[emit_mask], "insert", upd_lbl
                     ).astype(object)
                     emitted = np.zeros(len(emitsel), dtype=bool)
                     yield from _emit_rows(
@@ -655,15 +670,15 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                 if image == "both":
                     # PRE-image pass: the old winners of updated and
                     # deleted keys, decoded from the OLD file list
-                    presel = m[upd | dele]
+                    pre_mask = upd | dele
+                    presel = m[pre_mask]
                     if len(presel):
-                        poff = presel[off_o].to_numpy(np.int64)
+                        poff = o_off[pre_mask]
                         porder = np.argsort(poff, kind="stable")
                         psorted = poff[porder]
                         pkeys = [presel[k].to_numpy() for k in key_names]
                         plabels = np.where(
-                            dele.loc[presel.index].to_numpy(),
-                            "delete", "update_preimage",
+                            dele[pre_mask], "delete", "update_preimage",
                         ).astype(object)
                         pemitted = np.zeros(len(presel), dtype=bool)
                         yield from _emit_rows(
@@ -678,9 +693,7 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                     # tombstone offset when the delete is still
                     # materialized; the pre-delete winner's offset if
                     # the tombstone was already GC'd between versions
-                    doff = (
-                        delsel[off_n].fillna(delsel[off_o]).to_numpy(np.int64)
-                    )
+                    doff = np.where(has_n[dele], n_off[dele], o_off[dele])
                     cols = []
                     for field in full_schema:
                         if field.name in key_names:

@@ -544,27 +544,16 @@ class MaterializedView:
         """CONTINUOUS maintenance: poll the base head and refresh on
         every new commit — the view-level analogue of
         :func:`plans.replicate.replicate_follow` (each iteration is
-        one manifest JSON read when the base hasn't moved). Sleeps
-        ``poll_sec`` only when caught up; stops after ``timeout_sec``
-        (None = forever) or ``max_refreshes`` non-skipped refreshes.
+        one manifest JSON read when the base hasn't moved). Pacing,
+        deadline, and stop conditions are
+        :func:`plans.replicate.follow_loop`'s.
         Returns ``{"refreshes", "polls", "last"}``."""
-        import time
+        from migrator_spark.plans.replicate import follow_loop
 
-        t0 = time.monotonic()
-        applied = 0
-        polls = 0
-        last: dict = {}
-        while True:
-            last = self.refresh(**merge_kwargs)
-            polls += 1
-            if not last["skipped"]:
-                applied += 1
-                if max_refreshes is not None and applied >= max_refreshes:
-                    break
-                continue  # folded one span: immediately re-check
-            if timeout_sec is not None and time.monotonic() - t0 >= timeout_sec:
-                break
-            time.sleep(poll_sec)
+        applied, polls, last = follow_loop(
+            lambda: self.refresh(**merge_kwargs),
+            poll_sec, timeout_sec, max_refreshes,
+        )
         return {"refreshes": applied, "polls": polls, "last": last}
 
     # ------------------------------------------------------------ read

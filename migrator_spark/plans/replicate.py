@@ -129,6 +129,38 @@ def replicate(src: LakeTable, dst: LakeTable,
             "skipped": False}
 
 
+def follow_loop(step, poll_sec: float, timeout_sec: float | None,
+                max_apply: int | None) -> tuple[int, int, dict]:
+    """The shared poll/drain loop behind every continuous follower
+    (:func:`replicate_follow`, ``MaterializedView.follow``): apply
+    ``step`` repeatedly, drain IMMEDIATELY while it reports progress
+    (no sleep between increments — a lagging follower catches up at
+    full speed), sleep ``poll_sec`` only when caught up. Stops after
+    ``max_apply`` non-skipped steps, or once ``timeout_sec`` has
+    elapsed — checked on EVERY iteration, including progress ones, so
+    a steadily-moving source still honors the deadline (a
+    progress-path ``continue`` past the check would follow forever).
+    Returns ``(applied, polls, last_result)``."""
+    import time
+
+    t0 = time.monotonic()
+    applied = 0
+    polls = 0
+    last: dict = {}
+    while True:
+        last = step()
+        polls += 1
+        if not last["skipped"]:
+            applied += 1
+            if max_apply is not None and applied >= max_apply:
+                break
+        if timeout_sec is not None and time.monotonic() - t0 >= timeout_sec:
+            break
+        if last["skipped"]:
+            time.sleep(poll_sec)
+    return applied, polls, last
+
+
 def replicate_follow(src: LakeTable, dst: LakeTable,
                      stream_id: str | None = None,
                      poll_sec: float = 5.0,
@@ -138,29 +170,19 @@ def replicate_follow(src: LakeTable, dst: LakeTable,
     """CONTINUOUS replication: poll the source head and apply every new
     increment — the table-level analogue of the reference's continuous
     replication phase (pipelines watch loop). Each iteration reloads
-    both manifests (one small JSON read per table), applies
-    :func:`replicate` if the source moved, and sleeps ``poll_sec``
-    only when caught up (a lagging destination drains at full speed).
-    Stops after ``timeout_sec`` (None = forever) or once
-    ``max_increments`` non-skipped increments have been applied.
+    both manifests (one small JSON read per table) and applies
+    :func:`replicate` if the source moved; pacing, deadline, and stop
+    conditions are :func:`follow_loop`'s.
     Returns ``{"increments", "polls", "last"}``."""
-    import time
+    state = {"src": src, "dst": dst}
 
-    t0 = time.monotonic()
-    applied = 0
-    polls = 0
-    last: dict = {}
-    while True:
-        src = src.refresh()
-        dst = dst.refresh()
-        last = replicate(src, dst, stream_id=stream_id, **merge_kwargs)
-        polls += 1
-        if not last["skipped"]:
-            applied += 1
-            if max_increments is not None and applied >= max_increments:
-                break
-            continue  # drained one increment: immediately re-check
-        if timeout_sec is not None and time.monotonic() - t0 >= timeout_sec:
-            break
-        time.sleep(poll_sec)
+    def step() -> dict:
+        state["src"] = state["src"].refresh()
+        state["dst"] = state["dst"].refresh()
+        return replicate(state["src"], state["dst"],
+                         stream_id=stream_id, **merge_kwargs)
+
+    applied, polls, last = follow_loop(
+        step, poll_sec, timeout_sec, max_increments
+    )
     return {"increments": applied, "polls": polls, "last": last}

@@ -344,12 +344,35 @@ class PyArrowTableIO(TableIO):
         return self.fs.open_input_file(path)
 
     def mtime(self, path: str) -> float | None:
-        from pyarrow.fs import FileType
+        from pyarrow.fs import FileSelector, FileType
 
         info = self._info(path)
-        if info.type == FileType.NotFound or info.mtime is None:
+        if info.type == FileType.File and info.mtime is not None:
+            return info.mtime.timestamp()
+        # Object stores have no directory mtime (a "dir" is a key
+        # prefix: FileInfo carries mtime None, or NotFound entirely) —
+        # returning None here would protect every crashed/loser commit
+        # dir FOREVER and make the vacuum's orphan grace inert exactly
+        # where multi-writer races happen. Age the prefix by its
+        # NEWEST file instead: conservative (any recent write protects
+        # the whole dir), and a dir whose newest file predates the
+        # grace window is provably idle.
+        try:
+            kids = self.fs.get_file_info(FileSelector(path, recursive=True))
+        except (FileNotFoundError, OSError):
             return None
-        return info.mtime.timestamp()
+        stamps = [
+            k.mtime.timestamp()
+            for k in kids
+            if k.type == FileType.File and k.mtime is not None
+        ]
+        if stamps:
+            return max(stamps)
+        # empty local directory: its own stamp (object-store prefixes
+        # with no files don't really exist, and return None = protected)
+        if info.mtime is not None:
+            return info.mtime.timestamp()
+        return None
 
 
 def s3_conditional_put(client, bucket: str, key: str, body: bytes) -> None:
@@ -458,7 +481,15 @@ class MemTableIO(TableIO):
         s, d = self._norm(src), self._norm(dst)
         if s in self.files:
             self.files[d] = self.files.pop(s)
-            self.mtimes[d] = self.mtimes.pop(s, None) or 0.0
+            # keep "unknown" unknown: coercing a missing mtime to 0.0
+            # would read as infinitely OLD and mark a freshly renamed
+            # in-flight commit reapable — the inverse of the
+            # None-protects contract in TableIO.mtime
+            mt = self.mtimes.pop(s, None)
+            if mt is not None:
+                self.mtimes[d] = mt
+            else:
+                self.mtimes.pop(d, None)
             return
         moved = [k for k in self.files if k.startswith(s + "/")]
         for k in moved:

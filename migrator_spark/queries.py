@@ -792,6 +792,27 @@ ANN_PROBES = 6     # score-ranked probes per table -> reads ~3*6/64 = 28%
 # knobs matter more than they would on clustered real embeddings)
 
 
+def _ann_index_dir(sf_dir: str, kind: str, params: tuple) -> str:
+    """Tempdir cache path for a prebuilt ANN index. The cache key is a
+    CONTENT fingerprint of the corpus (path + size + mtime of every
+    part file — a regenerated corpus at the same path must not
+    silently reuse a stale index) PLUS the index parameters: changing
+    e.g. IVF_CELLS or ANN_NUM_BITS must rebuild, not reuse an index
+    laid out under the old knobs."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(
+        (n, os.path.getsize(os.path.join(src, n)), os.path.getmtime(os.path.join(src, n)))
+        for n in os.listdir(src)
+    ) if os.path.isdir(src) else [(src, os.path.getsize(src), os.path.getmtime(src))]
+    fp = hashlib.md5(
+        repr((os.path.abspath(sf_dir), parts, kind, params)).encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"migrator-ann-{kind}-{fp}")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 neighbours of vec 0 over a PREBUILT multi-table
     hyperplane-LSH index: ANN_TABLES independent 6-bit codes, each
@@ -805,9 +826,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle REPLICATES bucketing, probe choice, AND pruning in SQL —
     the approximate semantics are hash-checked end to end, not
     trusted."""
-    import hashlib
-    import tempfile
-
     from migrator_spark.operators.similarity import (
         ann_query_multi,
         build_ann_index_multi,
@@ -815,16 +833,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # cache key = CONTENT fingerprint of the corpus (path + size +
-    # mtime of every part file), not just the path: a regenerated
-    # corpus at the same path must not silently reuse a stale index
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = sorted(
-        (n, os.path.getsize(os.path.join(src, n)), os.path.getmtime(os.path.join(src, n)))
-        for n in os.listdir(src)
-    ) if os.path.isdir(src) else [(src, os.path.getsize(src), os.path.getmtime(src))]
-    fp = hashlib.md5(repr((os.path.abspath(sf_dir), parts)).encode()).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"migrator-ann-midx-{fp}")
+    idx = _ann_index_dir(sf_dir, "midx", (ANN_TABLES, ANN_NUM_BITS))
     if not os.path.exists(os.path.join(idx, f"t{ANN_TABLES - 1}", "_SUCCESS")):
         build_ann_index_multi(
             e.filter(F.col("vec_id") != 0), idx, dim=len(qv),
@@ -859,10 +868,11 @@ def _sql_ann_lsh_topk() -> str:
             for b in range(ANN_NUM_BITS)
         )
         # integer flip costs (see probe_buckets_scored): each term is
-        # round(|proj| * 1e6) cast to BIGINT on BOTH engines, so the
-        # ranked sum is exact integer arithmetic and a 1-ulp float
-        # divergence between list_dot_product and the Python fold can
-        # no longer flip the probe set at a cost tie
+        # floor(|proj| * 1e6) cast to BIGINT on BOTH engines (floor,
+        # not round — Python rounds half-to-even, DuckDB half-away),
+        # so the ranked sum is exact integer arithmetic and a 1-ulp
+        # float divergence between list_dot_product and the Python
+        # fold can no longer flip the probe set at a cost tie
         cost_chain = " + ".join(
             f"(CASE WHEN (xor(allb.bucket, qb{l}.qbucket) >> {b}) & 1 = 1 "
             f"THEN qp{l}.a{b} ELSE 0 END)"
@@ -879,7 +889,7 @@ def _sql_ann_lsh_topk() -> str:
             f"qb{l} AS (SELECT bucket AS qbucket FROM bk{l} WHERE vec_id = 0)",
             f"""qp{l} AS (
   SELECT {', '.join(
-      f"max(CASE WHEN p.b = {b} THEN CAST(round(abs(list_dot_product(q.qv, p.pl)) * 1000000, 0) AS BIGINT) END) AS a{b}"
+      f"max(CASE WHEN p.b = {b} THEN CAST(floor(abs(list_dot_product(q.qv, p.pl)) * 1000000) AS BIGINT) END) AS a{b}"
       for b in range(ANN_NUM_BITS)
   )}
   FROM planes{l} p, q
@@ -952,9 +962,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, probe choice AND pruning exactly — the approximate
     semantics are hash-checked, not trusted (see
     operators/similarity.py, IVF section)."""
-    import hashlib
-    import tempfile
-
     from migrator_spark.operators.similarity import (
         build_ivf_index,
         corpus_centroids,
@@ -963,13 +970,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = sorted(
-        (n, os.path.getsize(os.path.join(src, n)), os.path.getmtime(os.path.join(src, n)))
-        for n in os.listdir(src)
-    ) if os.path.isdir(src) else [(src, os.path.getsize(src), os.path.getmtime(src))]
-    fp = hashlib.md5(repr((os.path.abspath(sf_dir), parts)).encode()).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"migrator-ann-ivf-{fp}")
+    idx = _ann_index_dir(sf_dir, "ivf", (IVF_CELLS, IVF_NPROBE))
     if not (
         os.path.exists(os.path.join(idx, "lists", "_SUCCESS"))
         and os.path.exists(os.path.join(idx, "quantizer", "_SUCCESS"))
@@ -984,7 +985,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_IVF_TOPK = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-c AS (SELECT CAST(vec_id AS INTEGER) AS cell, emb AS cvec FROM v WHERE vec_id < {IVF_CELLS}),
+c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cvec
+      FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT {IVF_CELLS})),
 q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
 probe AS (
   SELECT cell FROM c, q

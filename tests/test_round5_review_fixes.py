@@ -1,0 +1,226 @@
+"""Round-5 review fixes, pinned:
+
+- the change-feed's bucket-local diff must stay EXACT for offsets
+  beyond float64's 2^53 integer range (the pandas outer merge used to
+  coerce Int64 -> float64, collapsing nearby offsets);
+- ANN probe-cost quantization uses floor on BOTH engines (Python
+  round is half-to-even, DuckDB's half-away — a cost on k+0.5 would
+  quantize differently);
+- corpus_centroids takes the N LOWEST ids, not ``id < N`` (sparse or
+  offset id spaces used to yield an empty quantizer and silently
+  empty ANN results);
+- ivf_probe_cells tolerates zero-norm vectors the same way the
+  executor argmax does (NULL loses; no ZeroDivisionError asymmetry);
+- PyArrowTableIO.mtime ages a directory prefix by its newest file
+  (object stores have no dir mtime — None would protect crashed
+  commit dirs from the vacuum FOREVER);
+- MemTableIO.rename keeps an unknown mtime unknown (0.0 would read
+  as infinitely old = immediately reapable);
+- follow_loop honors timeout_sec on EVERY iteration, including
+  progress ones (a steadily-moving source must still stop).
+"""
+
+import math
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import (
+    CHANGE_COL,
+    LAST_OFFSET_COL,
+    LakeTable,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+BASE = 1 << 55  # float64 ulp spacing here is 8: +1 vs +5 would collapse
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, "offset long, op string, k long, v string")
+
+
+def test_changes_feed_exact_beyond_float53(spark, tmp_path):
+    """Offsets around 2^55 whose differences are below float64's ulp
+    at that magnitude: the diff must still classify the update and
+    emit the exact winning offset, on BOTH strategies, identically."""
+    t = LakeTable.create(spark, str(tmp_path / "big"), PAYLOAD, ["k"], num_buckets=2)
+    t.merge(
+        _env(spark, [(BASE + 1, "insert", 0, "a0"), (BASE + 2, "insert", 1, "a1"),
+                     (BASE + 3, "insert", 2, "a2")]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    v1 = t.version
+    t.merge(
+        _env(spark, [(BASE + 5, "update", 0, "b0"),      # +1 -> +5: sub-ulp move
+                     (BASE + 6, "delete", 2, None),
+                     (BASE + 7, "insert", 9, "b9")]),
+        stream_id="s2", batch_id=0, compact_threshold=None,
+    )
+    t = t.refresh()
+
+    def rows(strategy):
+        df = t.changes(v1, strategy=strategy)
+        return sorted(
+            (r["k"], r["v"], r[LAST_OFFSET_COL], r[CHANGE_COL]) for r in df.collect()
+        )
+
+    local, join = rows("local"), rows("join")
+    assert local == join
+    assert local == [
+        (0, "b0", BASE + 5, "update"),
+        (2, None, BASE + 6, "delete"),
+        (9, "b9", BASE + 7, "insert"),
+    ]
+
+
+def test_probe_cost_floor_matches_duckdb():
+    """The half-sample values where Python round (half-to-even) and
+    DuckDB round (half-away) disagree must agree under floor — the
+    quantization both engines now use."""
+    duckdb = pytest.importorskip("duckdb")
+    for x in (0.5e-6, 1.5e-6, 2.5e-6, 0.1234565, 7.0000005):
+        py = int(math.floor(abs(x) * 1e6))
+        dk = duckdb.sql(
+            f"SELECT CAST(floor(abs({x!r}) * 1000000) AS BIGINT)"
+        ).fetchone()[0]
+        assert py == dk, (x, py, dk)
+
+
+def test_corpus_centroids_sparse_ids(spark, tmp_path):
+    """A corpus whose ids start at 1000: the quantizer must still hold
+    num_cells centroids (renumbered 0..n-1) and, probing every cell,
+    the IVF query must equal exact brute force."""
+    import numpy as np
+
+    from migrator_spark.operators.similarity import (
+        build_ivf_index,
+        corpus_centroids,
+        cosine_topk_bruteforce,
+        ivf_query,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(1000 + i, rng.randn(8).astype(float).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = corpus_centroids(df, num_cells=4)
+    got = cents.orderBy("cell").collect()
+    assert [r["cell"] for r in got] == [0, 1, 2, 3]
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(df, cents, idx)
+    qv = rows[7][1]
+    approx = ivf_query(spark, idx, qv, k=5, nprobe=4).collect()
+    exact = cosine_topk_bruteforce(df, qv, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in approx] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
+
+
+def test_ivf_probe_cells_zero_norm():
+    from migrator_spark.operators.similarity import ivf_probe_cells
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])]
+    # zero-norm QUERY: no defined cosine anywhere -> lowest cell ids
+    assert ivf_probe_cells([0.0, 0.0], cents, nprobe=2) == [0, 1]
+    # zero-norm CENTROID: ranks below every real score
+    assert ivf_probe_cells([1.0, 1.0], cents, nprobe=2) == [0, 2]
+    assert ivf_probe_cells([1.0, 1.0], cents, nprobe=3) == [0, 2, 1]
+
+
+def test_pyarrow_mtime_dir_prefix_ages_by_newest_file(tmp_path):
+    from migrator_spark.plans.tableio import PyArrowTableIO
+
+    io = PyArrowTableIO()
+    d = tmp_path / "commit-v3-abc"
+    d.mkdir()
+    old, new = d / "old.parquet", d / "new.parquet"
+    old.write_bytes(b"x")
+    new.write_bytes(b"y")
+    t_old, t_new = time.time() - 3600, time.time() - 60
+    os.utime(old, (t_old, t_old))
+    os.utime(new, (t_new, t_new))
+    got = io.mtime(str(d))
+    assert got is not None and abs(got - t_new) < 2.0
+    # a plain file still reports its own stamp
+    got_f = io.mtime(str(old))
+    assert got_f is not None and abs(got_f - t_old) < 2.0
+    # missing path stays unknown (= protected)
+    assert io.mtime(str(tmp_path / "nope")) is None
+
+
+def test_mem_rename_keeps_unknown_mtime_unknown():
+    from migrator_spark.plans.tableio import MemTableIO
+
+    io = MemTableIO()
+    io.write_text_atomic("a/f", "x")
+    del io.mtimes["a/f"]  # simulate an entry whose stamp was never recorded
+    io.rename("a/f", "b/f")
+    assert io.read_text("b/f") == "x"
+    assert io.mtime("b/f") is None  # unknown -> protected, NOT 0.0-old
+
+
+def test_follow_loop_timeout_fires_on_moving_source():
+    from migrator_spark.plans.replicate import follow_loop
+
+    t0 = time.monotonic()
+    applied, polls, last = follow_loop(
+        lambda: {"skipped": False},  # source moves EVERY poll
+        poll_sec=30.0, timeout_sec=0.3, max_apply=None,
+    )
+    assert time.monotonic() - t0 < 5.0  # did not follow forever / sleep
+    assert applied >= 1 and applied == polls
+    assert last == {"skipped": False}
+
+
+def test_follow_loop_max_apply_still_wins():
+    from migrator_spark.plans.replicate import follow_loop
+
+    applied, polls, _ = follow_loop(
+        lambda: {"skipped": False}, poll_sec=30.0, timeout_sec=None, max_apply=3
+    )
+    assert (applied, polls) == (3, 3)
+
+
+def test_vacuum_grace_works_in_object_store_mode(spark, tmp_path):
+    """Same in-flight-commit scenario as
+    test_vacuum_never_reaps_a_live_writers_promoted_commit, but with
+    PyArrowTableIO, where a commit DIR is only a key prefix: the grace
+    window must age by the NEWEST FILE under the prefix (a dir stat
+    carries no usable stamp on object stores). Fresh files stay
+    protected; once every file predates the grace, the orphan is
+    reaped."""
+    from migrator_spark.plans.tableio import PyArrowTableIO
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, path, PAYLOAD, ["k"], num_buckets=2, io=PyArrowTableIO()
+    )
+    for b in range(3):
+        t = t.refresh()
+        t.merge(
+            _env(spark, [(b, "insert", b, f"p{b}")]),
+            stream_id="s", batch_id=b, compact_threshold=None,
+        )
+
+    inflight = os.path.join(path, "data", f"commit-v{t.version + 1:08d}-aaaa1111")
+    os.makedirs(os.path.join(inflight, "_bucket=0"))
+    pq_file = os.path.join(inflight, "_bucket=0", "part-0.parquet")
+    with open(pq_file, "wb") as f:
+        f.write(b"PAR1fake")
+
+    t.refresh().expire_snapshots(keep=1)  # default grace: fresh file protects
+    assert os.path.exists(pq_file), "vacuum reaped an in-flight commit"
+
+    old = time.time() - 10 * 24 * 3600
+    os.utime(pq_file, (old, old))  # age the FILE only — dirs don't exist on S3
+    t.refresh().expire_snapshots(keep=1)
+    assert not os.path.exists(pq_file)
