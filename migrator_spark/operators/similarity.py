@@ -196,6 +196,16 @@ def minhash_lsh_candidates(
     buckets are a recall trade documented to the caller; size the cap
     so real duplicate clusters stay under it.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # loud, not degraded: a non-divisible split silently weakens
+        # the documented recall bound (trailing hashes unused), and
+        # num_hashes < bands collapses every band slice to the empty
+        # list — one giant identical-hash bucket that the size cap
+        # then DROPS, i.e. zero candidates with no error
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     mh = make_minhash_udf(num_hashes, ngram, seed)
     sig = df.select(F.col(id_col).alias("_id"), mh(F.col(text_col)).alias("_sig")).filter(
@@ -511,12 +521,29 @@ def make_hyperplane_lsh_udf(dim: int, num_bits: int = 16, seed: int = 42):
     @pandas_udf(T.IntegerType())
     def lsh_bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            mat = np.array([np.asarray(v, dtype=float) for v in s])
-            if mat.ndim != 2 or mat.size == 0:
-                yield pd.Series(np.zeros(len(s), dtype=np.int32))
-                continue
-            bits = (mat @ planes.T) > 0
-            vals = (bits.astype(np.uint32) << np.arange(num_bits, dtype=np.uint32)).sum(axis=1)
+            # PER-ROW validity, not per-batch: one null or wrong-dim
+            # vector must not silence-corrupt its whole Arrow batch
+            # (np.array over a ragged list yields an object array and
+            # a batch-wide fallback would bucket every row to 0 —
+            # dropping legitimate vectors from any pruned search)
+            n = len(s)
+            mat = np.zeros((n, dim), dtype=float)
+            valid = np.zeros(n, dtype=bool)
+            for i, v in enumerate(s):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=float)
+                if a.shape == (dim,):
+                    mat[i] = a
+                    valid[i] = True
+            vals = np.zeros(n, dtype=np.uint32)
+            if valid.any():
+                bits = (mat @ planes.T) > 0
+                vals = (
+                    bits.astype(np.uint32)
+                    << np.arange(num_bits, dtype=np.uint32)
+                ).sum(axis=1)
+                vals[~valid] = 0  # degenerate rows: bucket 0, alone
             yield pd.Series(vals.astype(np.int32))
 
     return lsh_bucket, planes
@@ -804,11 +831,16 @@ def embedding_near_dups(
         F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
     cos = dot / (norm(F.col("_va")) * norm(F.col("_vb")))
+    # materialize the O(dim) fold ONCE per candidate pair: Catalyst
+    # does not CSE the aggregate() tree across the Filter/Project
+    # boundary, so filtering and re-selecting `cos` would run the
+    # three dim-length folds twice per surviving pair
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(cos >= threshold)
-        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_cos"), 4).alias("cos_sim"))
     )
 
 
@@ -862,10 +894,17 @@ def _dot_expr(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _qsim_expr(v, c):
+def _qsim_expr(v, c, nv=None, nc=None):
     """floor(cosine(v, c) * 1e6) as a long — the quantized similarity
-    every IVF decision ranks on."""
-    raw = _dot_expr(v, c) / (F.sqrt(_dot_expr(v, v)) * F.sqrt(_dot_expr(c, c)))
+    every IVF decision ranks on. ``nv``/``nc``: optionally precomputed
+    norm columns — callers scoring one vector against MANY centroids
+    hoist sqrt(v·v) out of the crossJoin so the O(dim) self-dot runs
+    once per vector, not once per (vector, centroid) pair; float
+    multiplication is commutative and the expression shape is
+    unchanged, so the quantized score is bit-identical either way."""
+    nv = nv if nv is not None else F.sqrt(_dot_expr(v, v))
+    nc = nc if nc is not None else F.sqrt(_dot_expr(c, c))
+    raw = _dot_expr(v, c) / (nv * nc)
     return F.floor(raw * F.lit(1_000_000.0)).cast("long")
 
 
@@ -886,10 +925,25 @@ def ivf_assign(
     payload (the (sim, -cell) prefix already decides the order, so
     the payload never participates in comparison)."""
     payload = F.struct(*[F.col(c) for c in df.columns]).alias("row")
+    # hoist both self-dots out of the crossJoin: sqrt(v·v) runs once
+    # per vector and sqrt(c·c) once per centroid instead of once per
+    # (vector, centroid) pair — bit-identical scores (see _qsim_expr)
     scored = (
         df.withColumn("_v", F.col(vec_col).cast("array<double>"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", _qsim_expr(F.col("_v"), F.col("cvec")))
+        .withColumn("_nv", F.sqrt(_dot_expr(F.col("_v"), F.col("_v"))))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn(
+                    "_nc", F.sqrt(_dot_expr(F.col("cvec"), F.col("cvec")))
+                )
+            )
+        )
+        .withColumn(
+            "_sim",
+            _qsim_expr(
+                F.col("_v"), F.col("cvec"), nv=F.col("_nv"), nc=F.col("_nc")
+            ),
+        )
     )
     best = scored.groupBy(F.col(id_col).alias("_id")).agg(
         F.max(
@@ -909,19 +963,25 @@ def corpus_centroids(
     lowest-id corpus vectors, renumbered to cells ``0..n-1`` in id
     order (NOT ``id < num_cells`` — a corpus whose ids are sparse or
     don't start at 0 would otherwise yield a short or empty quantizer
-    and silently empty query results). The orderBy+limit is a TakeOrdered
-    over the slim (id, vec) projection and the row_number window holds
-    ``num_cells`` rows — both trivially sized. Pass the result directly
-    to :func:`build_ivf_index` for an oracle-replicable index, or
-    through :func:`kmeans_refine` first for a trained quantizer — the
-    index dataflow is identical either way."""
+    and silently empty query results). Ordering is on the id column's
+    NATIVE type (string ids order lexicographically; a cast-to-long
+    would NULL them out and pick arbitrary vectors under an
+    all-NULL sort — determinism is this function's whole contract, so
+    ids must be distinct and orderable). The orderBy+limit is a
+    TakeOrdered over the slim (id, vec) projection and the row_number
+    window holds ``num_cells`` rows — both trivially sized. Pass the
+    result directly to :func:`build_ivf_index` for an
+    oracle-replicable index, or through :func:`kmeans_refine` first
+    for a trained quantizer — the index dataflow is identical either
+    way."""
     from pyspark.sql import Window
 
     low = (
         df.select(
-            F.col(id_col).cast("long").alias("_cid"),
+            F.col(id_col).alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
+        .filter(F.col("_cid").isNotNull())
         .orderBy("_cid")
         .limit(num_cells)
     )

@@ -12,7 +12,10 @@ fallback), with the identical semantics the north rule demands:
   APPENDS the batch's per-key LWW winners (deletes as tombstones) as
   new per-bucket delta files — each commit writes O(batch winners)
   bytes regardless of table size. Readers resolve LWW (argmax of
-  ``_last_offset`` per key) across a bucket's base+delta files; once a
+  ``(_last_offset, _deleted)`` per key — at an EQUAL offset a
+  tombstone beats a live row, the tie rule that lets a replica's
+  synthetic-offset delete converge; see ``_resolve_lww``) across a
+  bucket's base+delta files; once a
   bucket's delta chain exceeds ``compact_threshold`` it is rewritten
   into one resolved file. This is the Iceberg merge-on-read /
   LSM cost model: copy-on-write per micro-batch would rewrite every
@@ -178,7 +181,8 @@ def _staged_file_stats(path: str, read_counters: bool, io: "TableIO") -> tuple[i
 
 
 def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
-                          bucket_field_name: str | None, filesystem=None):
+                          bucket_field_name: str | None, filesystem=None,
+                          deleted_col: str = DELETED_COL):
     """Task function for bucket-local LWW resolution (``mapInArrow``).
 
     Each input row is ``(bucket, files, sub, nsub)``; the task resolves
@@ -227,7 +231,7 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        slim_cols = list(key_names) + [offset_col]
+        slim_cols = list(key_names) + [offset_col, deleted_col]
         for rb in batches:
             for bucket, files, sub, nsub in zip(
                 rb.column(0).to_pylist(), rb.column(1).to_pylist(),
@@ -235,13 +239,22 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
             ):
                 if not files:
                     continue
-                # ---- pass 1: slim winner argmax (keys + offset only).
-                # Files disagree on nullability metadata (Spark-written
-                # deltas vs resolver-written compactions) — cast every
-                # slim table to one nullable schema before concat.
+                # ---- pass 1: slim winner argmax (keys + offset +
+                # deleted only; deleted rides along for the engine-wide
+                # offset-tie rule: tombstone beats live — see
+                # _resolve_lww). Files disagree on nullability metadata
+                # (Spark-written deltas vs resolver-written
+                # compactions) — cast every slim table to one nullable
+                # schema before concat.
                 slim_schema = pa.schema(
                     [
-                        pa.field(c, arrow_schema.field(c).type, nullable=True)
+                        pa.field(
+                            c,
+                            arrow_schema.field(c).type
+                            if c in arrow_schema.names
+                            else pa.bool_(),
+                            nullable=True,
+                        )
                         for c in slim_cols
                     ]
                 )
@@ -257,10 +270,29 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                 sdf = pd.DataFrame(
                     {c: slim.column(c).to_pandas() for c in slim_cols}
                 )
+                sdf["_dl"] = sdf[deleted_col].fillna(False).astype(bool)
                 wins = (
                     sdf.groupby(key_names, sort=False, dropna=False)[offset_col]
                     .max()
                     .reset_index()
+                )
+                widx = (
+                    pd.MultiIndex.from_frame(wins[key_names])
+                    if len(key_names) > 1
+                    else pd.Index(wins[key_names[0]])
+                )
+                # offset-tie rule (see _resolve_lww): among rows AT the
+                # winning offset, a tombstone beats a live row — the
+                # winner's deleted flag is the max over the tie set and
+                # the emit pass verifies it like a key column
+                at_max = sdf.merge(
+                    wins, on=key_names + [offset_col], how="inner"
+                )
+                wdel = (
+                    at_max.groupby(key_names, sort=False, dropna=False)["_dl"]
+                    .max()
+                    .reindex(widx)
+                    .to_numpy(dtype=bool)
                 )
                 woff = wins[offset_col].to_numpy(np.int64)
                 worder = np.argsort(woff, kind="stable")
@@ -281,17 +313,15 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                         np.arange(len(files)),
                         [t.num_rows for t in slim_parts],
                     )
-                    m = sdf.merge(wins, on=slim_cols, how="inner")
+                    wins2 = wins.copy()
+                    wins2["_dl"] = wdel
+                    m = sdf.merge(
+                        wins2, on=key_names + [offset_col, "_dl"], how="inner"
+                    )
                     first = m.groupby(
                         key_names, sort=False, dropna=False
                     )["_fidx"].min()
-                    first_fidx = (
-                        first.reindex(
-                            pd.MultiIndex.from_frame(wins[key_names])
-                            if len(key_names) > 1
-                            else pd.Index(wins[key_names[0]])
-                        ).to_numpy()
-                    )
+                    first_fidx = first.reindex(widx).to_numpy()
                 # ---- pass 2: stream full rows, emit winners once
                 # (shared with the change-feed diff resolver)
                 extra = None
@@ -303,7 +333,7 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
                 yield from _emit_rows(
                     files, sub, nsub, arrow_schema, key_names, offset_col,
                     wsorted, worder, wkeys, emitted, first_fidx, filesystem,
-                    extra_fields=extra,
+                    extra_fields=extra, deleted_col=deleted_col, wdel=wdel,
                 )
 
     return resolve
@@ -311,7 +341,7 @@ def _make_bucket_resolver(arrow_schema, key_names: list[str], offset_col: str,
 
 def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
                wsorted, worder, wkeys, emitted, first_fidx, filesystem,
-               extra_fields=None):
+               extra_fields=None, deleted_col=None, wdel=None):
     """Streaming winner-EMIT pass shared by the LWW bucket resolver and
     the change-feed diff resolver: given the winner set ``(wsorted
     offsets, worder, wkeys)`` computed by a slim pass, stream each
@@ -324,12 +354,23 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
     ``extra_fields``: optional ``[(pa.field, per-winner values)]``
     appended to every emitted batch, aligned row-for-row with the
     emitted winners — the resolver appends the constant bucket id, the
-    diff resolver a per-winner insert/update change type."""
+    diff resolver a per-winner insert/update change type.
+
+    ``deleted_col``/``wdel``: the offset-tie rule (see _resolve_lww) —
+    ``wdel`` is the per-winner deleted flag decided by the slim pass;
+    a candidate row whose tombstone flag disagrees is NOT the winner
+    (e.g. the stored live row when a replica-applied delete re-used
+    its offset) and is verified away exactly like a key mismatch."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     emit_names = set(arrow_schema.names)
+    read_extra = (
+        {deleted_col}
+        if wdel is not None and deleted_col and deleted_col not in emit_names
+        else set()
+    )
     for fi, path in enumerate(files):
         if nsub > 1 and fi % nsub != sub:
             continue
@@ -339,7 +380,9 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
             else filesystem.open_input_file(path)
         )
         read_cols = [
-            n for n in pf.schema_arrow.names if n in emit_names
+            n
+            for n in pf.schema_arrow.names
+            if n in emit_names or n in read_extra
         ]
         for batch in pf.iter_batches(
             batch_size=1 << 16, columns=read_cols
@@ -378,11 +421,25 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
             def _keq(a, b):
                 return (a == b) | (_pd.isna(a) & _pd.isna(b))
 
+            dvals = None
+            if wdel is not None and deleted_col is not None:
+                if deleted_col in small.column_names:
+                    dvals = np.asarray(
+                        _pd.Series(small.column(deleted_col).to_pandas())
+                        .fillna(False)
+                        .astype(bool)
+                    )
+                else:  # file predates the column: all live
+                    dvals = np.zeros(len(crows), dtype=bool)
             ok = np.ones(len(crows), dtype=bool)
             for ki in range(len(key_names)):
                 ok &= _keq(keymats[ki], wkeys[ki][cpos])
+            if dvals is not None:
+                # offset-tie rule: the winner's tombstone flag is part
+                # of its identity (see docstring)
+                ok &= dvals == wdel[cpos]
             # slow path: scan the equal-offset run for the
-            # entry whose keys match this row
+            # entry whose keys (and tombstone flag) match this row
             for i in np.nonzero((hi - lo) > 1)[0]:
                 ok[i] = False
                 for j in range(lo[i], hi[i]):
@@ -391,7 +448,7 @@ def _emit_rows(files, sub, nsub, arrow_schema, key_names, offset_col,
                         _keq(keymats[ki][i : i + 1],
                              wkeys[ki][p : p + 1])[0]
                         for ki in range(len(key_names))
-                    ):
+                    ) and (dvals is None or dvals[i] == wdel[p]):
                         cpos[i] = p
                         ok[i] = True
                         break
@@ -506,11 +563,17 @@ def _make_lookup_resolver(arrow_schema, keys_by_bucket: dict,
                 hit = slim[mask]
                 if hit.empty:
                     continue
-                idx = hit.groupby(
-                    key_names, sort=False, dropna=False
-                )[offset_col].idxmax()
-                live = hit.loc[idx]
-                live = live[~live[deleted_col].fillna(False).astype(bool)]
+                # winner at max (offset, deleted) — the engine-wide
+                # offset-tie rule (tombstone beats live; _resolve_lww)
+                live = (
+                    hit.assign(
+                        _dl=hit[deleted_col].fillna(False).astype(bool)
+                    )
+                    .sort_values([offset_col, "_dl"], kind="stable")
+                    .groupby(key_names, sort=False, dropna=False)
+                    .tail(1)
+                )
+                live = live[~live["_dl"]]
                 if live.empty:
                     continue
                 out = tbl.take(
@@ -623,13 +686,21 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                 )[fidx]
 
                 def fold(mask):
+                    # per-key winner at max (offset, deleted): the
+                    # engine-wide offset-tie rule (tombstone beats
+                    # live — see _resolve_lww), stable-sorted so the
+                    # pick is deterministic
                     sub = sdf[mask]
                     if sub.empty:
                         return sub
-                    idx = sub.groupby(
-                        key_names, sort=False, dropna=False
-                    )[offset_col].idxmax()
-                    return sdf.loc[idx.to_numpy()]
+                    sub = sub.assign(
+                        _dl=sub[deleted_col].fillna(False).astype(bool)
+                    ).sort_values([offset_col, "_dl"], kind="stable")
+                    return (
+                        sub.groupby(key_names, sort=False, dropna=False)
+                        .tail(1)
+                        .drop(columns=["_dl"])
+                    )
 
                 m = fold(in_old).merge(
                     fold(in_new), on=key_names, how="outer",
@@ -666,6 +737,10 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                         list(new_files), 0, 1, emit_schema, key_names,
                         offset_col, wsorted, worder, wkeys, emitted, None,
                         filesystem, extra_fields=[(change_field, labels)],
+                        # post-image winners are live by construction;
+                        # a tombstone sharing their offset is not them
+                        deleted_col=deleted_col,
+                        wdel=np.zeros(len(emitsel), dtype=bool),
                     )
                 if image == "both":
                     # PRE-image pass: the old winners of updated and
@@ -686,6 +761,9 @@ def _make_bucket_diff_resolver(emit_schema, key_names: list[str],
                             offset_col, psorted, porder, pkeys, pemitted,
                             None, filesystem,
                             extra_fields=[(change_field, plabels)],
+                            # pre-image winners were live at `since`
+                            deleted_col=deleted_col,
+                            wdel=np.zeros(len(presel), dtype=bool),
                         )
                     continue
                 delsel = m[dele]
@@ -895,16 +973,44 @@ class LakeTable:
 
     def _resolve_lww(self, raw: DataFrame) -> DataFrame:
         """Merge-on-read resolution: one row per key — the one with the
-        highest ``_last_offset`` across base + delta files. Same
-        slim-argmax + join-back strategy as the write side (see merge):
-        the aggregation state stays bytes-per-key instead of carrying
-        content payloads. A replayed event identical to a stored row
-        can yield the same (key, offset) twice across files — the rows
-        are byte-identical (deterministic transform), so
-        dropDuplicates picks deterministically-equal output."""
-        wmax = raw.groupBy(*self.key_cols).agg(
-            F.max(LAST_OFFSET_COL).alias(LAST_OFFSET_COL)
-        )
+        highest ``(_last_offset, _deleted)`` across base + delta files.
+        Same slim-argmax + join-back strategy as the write side (see
+        merge): the aggregation state stays bytes-per-key instead of
+        carrying content payloads. A replayed event identical to a
+        stored row can yield the same (key, offset) twice across files
+        — the rows are byte-identical (deterministic transform), so
+        dropDuplicates picks deterministically-equal output.
+
+        TIE RULE (total order, shared by every resolver): at an EQUAL
+        offset, a TOMBSTONE beats a live row. Producer streams stamp
+        unique offsets, so ties only arise from synthetic stamps —
+        e.g. a replica applying a change-feed delete whose source
+        tombstone was vacuumed re-uses the old winner's offset
+        (replicate.py); without the rule the delete could silently
+        lose to the stored live row and the replica diverge forever."""
+        if DELETED_COL not in raw.columns:
+            wmax = raw.groupBy(*self.key_cols).agg(
+                F.max(LAST_OFFSET_COL).alias(LAST_OFFSET_COL)
+            )
+            wdel = None
+        else:
+            wmax = (
+                raw.groupBy(*self.key_cols)
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col(LAST_OFFSET_COL).alias("o"),
+                            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("d"),
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    *self.key_cols,
+                    F.col("_w.o").alias(LAST_OFFSET_COL),
+                    F.col("_w.d").alias("_wdel"),
+                )
+            )
+            wdel = "_wdel"
         # NULL-SAFE key join (<=>): NULL is a legal key value (view
         # group keys) — a plain equality join drops NULL-keyed rows.
         # EqualNullSafe is still a hash-joinable equi-key, so the plan
@@ -913,6 +1019,11 @@ class LakeTable:
         cond = F.col(f"_lww_r.{LAST_OFFSET_COL}") == F.col(
             f"_lww_w.{LAST_OFFSET_COL}"
         )
+        if wdel is not None:
+            cond = cond & (
+                F.coalesce(F.col(f"_lww_r.{DELETED_COL}"), F.lit(False))
+                == F.col(f"_lww_w.{wdel}")
+            )
         for k in self.key_cols:
             cond = cond & F.col(f"_lww_r.{k}").eqNullSafe(F.col(f"_lww_w.{k}"))
         return (
@@ -1793,7 +1904,12 @@ class LakeTable:
         sizes_known = (not history) or (cur_bytes is not None and bool(last_bytes))
         spiked = bool(history and last_bytes and cur_bytes is not None
                       and cur_bytes > 4 * last_bytes)
-        if est is not None and est * 2 <= broadcast_winner_limit and sizes_known and not spiked:
+        if broadcast_winner_limit <= 0:
+            # caller opted out of the offset-only fast path (synthetic
+            # envelopes with possibly-colliding cross-key offsets:
+            # replicate resync, matview refresh) — no count job needed
+            use_broadcast = False
+        elif est is not None and est * 2 <= broadcast_winner_limit and sizes_known and not spiked:
             use_broadcast = True
         else:
             use_broadcast = wmax.count() <= broadcast_winner_limit

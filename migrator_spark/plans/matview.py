@@ -41,12 +41,15 @@ Two maintenance strategies, chosen per view by its aggregate set:
 
 Offsets: each refresh stamps its envelope rows
 ``head * 2^32 + pmod(xxhash64(group_key), 2^32)`` — deterministic
-(retry-safe), strictly increasing across refreshes for any given
-group (head is the base snapshot version, strictly monotonic), and
-collision-free ENOUGH within a batch (each group appears exactly once
-per refresh; an equal-offset pair across two different groups is
-resolved by the merge path's key verification, and expected runs are
-O(1) so the offset-match prefilter stays linear).
+(retry-safe) and strictly increasing across refreshes for any given
+group (head is the base snapshot version, strictly monotonic). The
+hash makes cross-GROUP collisions within one refresh possible
+(birthday bound: ~100 expected at 10^6 changed groups), so refresh
+merges FORCE the null-safe (key, offset) winner join instead of the
+offsets-only broadcast — that fast path's unique-offset contract is a
+producer-stream contract these synthetic stamps don't satisfy. The
+read-side resolvers verify keys (and the tombstone flag) at equal
+offsets, so storage-level reads stay correct either way.
 
 Reference parity note: the reference has no materialized views — this
 is engine surface the 100-TB training-data pipeline needs (hot
@@ -64,6 +67,7 @@ from pyspark.sql import types as T
 from migrator_spark.operators.dedup import bucket_expr
 from migrator_spark.plans.laketable import (
     CHANGE_COL,
+    ConcurrentWriteError,
     LakeTable,
 )
 from migrator_spark.plans.tableio import TableIO
@@ -350,10 +354,30 @@ class MaterializedView:
             env = self.table.spark.createDataFrame(
                 [], self._envelope_schema()
             )
+        # hash-stamped offsets can collide across groups (module
+        # docstring): force the null-safe (key, offset) winner join and
+        # drop the producer-stream global-uniqueness validation
+        merge_kwargs = {
+            **merge_kwargs,
+            "broadcast_winner_limit": 0,
+            "validate_offsets": False,
+        }
         try:
             self.table.merge(
                 env, stream_id=self._sid, batch_id=head, **merge_kwargs
             )
+        except ConcurrentWriteError:
+            # a concurrent follower (or view-table maintenance) won the
+            # version race — if it committed THIS refresh, the batch
+            # guard makes the outcome identical (same recovery as
+            # replicate.py); anything else propagates for retry
+            fresh = self.table.refresh()
+            if int(fresh.manifest["committed"].get(self._sid, -1)) >= head:
+                self.table = fresh
+                return {"mode": mode, "from_version": cur,
+                        "to_version": head, "skipped": True,
+                        "lost_race_to_peer": True}
+            raise
         finally:
             if env.is_cached:
                 env.unpersist()

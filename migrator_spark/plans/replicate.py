@@ -98,10 +98,18 @@ def replicate(src: LakeTable, dst: LakeTable,
             F.lit("update").alias("op"),
             *[F.col(c) for c in pay],
         )
-        gone = (
-            dst.read(columns=key_cols + [LAST_OFFSET_COL])
-            .join(cur.select(*key_cols), on=key_cols, how="left_anti")
-        )
+        # NULL-SAFE anti-join (<=>): NULL is a legal key value (view
+        # group keys; laketable joins null-safe everywhere) — a plain
+        # list-`on` anti-join never matches a NULL-keyed dst row to
+        # its live src counterpart and would wrongly delete it on
+        # every resync.
+        d = dst.read(columns=key_cols + [LAST_OFFSET_COL]).alias("_rp_d")
+        s = cur.select(*key_cols).alias("_rp_s")
+        acond = None
+        for k in key_cols:
+            e = F.col(f"_rp_d.{k}").eqNullSafe(F.col(f"_rp_s.{k}"))
+            acond = e if acond is None else acond & e
+        gone = d.join(s, acond, "left_anti")
         dels = gone.select(
             (F.col(LAST_OFFSET_COL) + 1).cast("long").alias("offset"),
             F.lit("delete").alias("op"),
@@ -112,6 +120,18 @@ def replicate(src: LakeTable, dst: LakeTable,
             ],
         )
         env = ups.unionByName(dels)
+        # Resync offsets are SYNTHETIC and only per-key safe: a
+        # delete's dst_offset+1 may equal ANOTHER key's live offset.
+        # merge's fast path broadcasts winner OFFSETS alone (unique-
+        # per-batch producer contract) and would join colliding rows
+        # twice; force the null-safe (key, offset) winner join, and
+        # drop the global-uniqueness validation that same contract
+        # defines — per-key LWW semantics are unaffected.
+        merge_kwargs = {
+            **merge_kwargs,
+            "broadcast_winner_limit": 0,
+            "validate_offsets": False,
+        }
     try:
         dst.merge(env, stream_id=sid, batch_id=head, **merge_kwargs)
     except ConcurrentWriteError:

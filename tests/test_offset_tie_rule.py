@@ -1,0 +1,225 @@
+"""The engine-wide OFFSET-TIE RULE and the replication-chain fixes it
+enables (round-5 deep review):
+
+- At an EQUAL ``_last_offset``, a TOMBSTONE beats a live row — on the
+  bucket-local resolver, the shuffle resolver, point lookup, and the
+  change-feed diff. Producer streams stamp unique offsets, so ties
+  only arise from synthetic stamps: the canonical case is a replica
+  applying a change-feed delete whose source tombstone was vacuumed —
+  the delete re-uses the old winner's offset and must not silently
+  lose to the stored live row (permanent divergence).
+- ``replicate``'s full resync anti-joins NULL-SAFE (NULL is a legal
+  key) and routes its synthetic-offset envelope through the null-safe
+  (key, offset) winner join (cross-key offset collisions are routine:
+  a delete's dst_offset+1 can equal another key's live offset).
+- ``MaterializedView.refresh`` tolerates losing a version race to a
+  peer that committed the same refresh (same recovery as replicate).
+- ``merge(broadcast_winner_limit=0)`` stores cross-key equal-offset
+  rows exactly once each (the forced key join).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migrator_spark.plans.laketable import (
+    ConcurrentWriteError,
+    LakeTable,
+)
+from migrator_spark.plans.replicate import replicate
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.StringType(), True),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, "offset long, op string, k string, v string")
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+@pytest.mark.parametrize("resolve", ["local", "shuffle"])
+def test_tombstone_wins_offset_tie(spark, tmp_path, resolve, monkeypatch):
+    """live@100 then delete@100 (separate streams — producer offsets
+    are unique per stream, ties are the cross-stream/synthetic case):
+    the key must read as deleted, on both resolvers, in both write
+    orders."""
+    monkeypatch.setenv("SPARK_GRAFT_RESOLVE", resolve)
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["k"], num_buckets=2)
+    t.merge(_env(spark, [(100, "insert", "a", "x"), (7, "insert", "b", "y")]),
+            stream_id="s1", batch_id=0, compact_threshold=None)
+    t.merge(_env(spark, [(100, "delete", "a", None)]),
+            stream_id="s2", batch_id=0, compact_threshold=None)
+    t = t.refresh()
+    assert _rows(t.read().select("k", "v")) == [("b", "y")]
+    # lookup agrees
+    assert t.lookup([("a",)]).count() == 0
+    assert [r["v"] for r in t.lookup([("b",)]).collect()] == ["y"]
+    # and the rule survives compaction
+    t.compact()
+    t = t.refresh()
+    assert _rows(t.read().select("k", "v")) == [("b", "y")]
+
+
+def test_tombstone_tie_reverse_write_order(spark, tmp_path):
+    """Tombstone written FIRST, live row replayed second at the same
+    offset: the tombstone still wins (the rule is an order on values,
+    not arrival)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["k"], num_buckets=2)
+    t.merge(_env(spark, [(100, "delete", "a", None)]),
+            stream_id="s1", batch_id=0, compact_threshold=None)
+    t.merge(_env(spark, [(100, "insert", "a", "x")]),
+            stream_id="s2", batch_id=0, compact_threshold=None)
+    assert t.refresh().read().count() == 0
+
+
+def test_replicated_delete_survives_source_tombstone_gc(spark, tmp_path):
+    """THE motivating end-to-end: src deletes a key, GCs the tombstone,
+    and the replica's increment applies the feed's fallback delete at
+    the OLD winner's offset — the replica must converge, not keep the
+    row alive forever."""
+    a = LakeTable.create(spark, str(tmp_path / "a"), PAYLOAD, ["k"], num_buckets=2)
+    b = LakeTable.create(spark, str(tmp_path / "b"), PAYLOAD, ["k"], num_buckets=2)
+    a.merge(_env(spark, [(10, "insert", "k1", "v1"), (11, "insert", "k2", "v2")]),
+            stream_id="s", batch_id=0, compact_threshold=None)
+    assert not replicate(a.refresh(), b)["skipped"]
+    b = b.refresh()
+    assert _rows(b.read().select("k", "v")) == [("k1", "v1"), ("k2", "v2")]
+
+    a = a.refresh()
+    a.merge(_env(spark, [(20, "delete", "k1", None)]),
+            stream_id="s", batch_id=1, compact_threshold=None)
+    a = a.refresh()
+    a.compact_tombstones(min_offset=1_000)  # the k1 tombstone is GC'd
+    a = a.refresh()
+
+    res = replicate(a, b.refresh())
+    assert res["mode"] == "incremental" and not res["skipped"]
+    b = b.refresh()
+    assert _rows(b.read().select("k", "v")) == [("k2", "v2")]
+    assert _rows(b.read().select("k", "v")) == _rows(a.read().select("k", "v"))
+
+
+def test_resync_null_keys_and_offset_collisions(spark, tmp_path):
+    """Full resync (cursor snapshot vacuumed on src) with (a) a live
+    NULL-keyed src row — must survive the anti-join, and (b) a
+    dst-only key whose synthetic delete offset collides with another
+    key's live offset — both keys must resolve correctly, no
+    duplicates."""
+    a = LakeTable.create(spark, str(tmp_path / "a"), PAYLOAD, ["k"], num_buckets=2)
+    b = LakeTable.create(spark, str(tmp_path / "b"), PAYLOAD, ["k"], num_buckets=2)
+    a.merge(
+        _env(spark, [(5, "insert", None, "null-row"), (6, "insert", "x", "vx"),
+                     (9, "insert", "w", "vw")]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    assert not replicate(a.refresh(), b)["skipped"]
+    b = b.refresh()
+    # dst grows a row src never had, at offset 8: its synthetic resync
+    # delete lands at 9 — the same offset as src's live "w"
+    b.merge(_env(spark, [(8, "insert", "z", "vz")]),
+            stream_id="side", batch_id=0, compact_threshold=None)
+    b = b.refresh()
+
+    # advance src twice and vacuum history so the cursor snapshot dies
+    a = a.refresh()
+    a.merge(_env(spark, [(12, "insert", "x", "vx2")]),
+            stream_id="s", batch_id=1, compact_threshold=None)
+    a = a.refresh()
+    a.merge(_env(spark, [(13, "insert", "y", "vy")]),
+            stream_id="s", batch_id=2, compact_threshold=None)
+    a = a.refresh()
+    a.expire_snapshots(keep=1, orphan_grace_sec=0)
+    a = a.refresh()
+
+    res = replicate(a, b)
+    assert res["mode"] == "snapshot" and not res["skipped"]
+    b = b.refresh()
+    got = _rows(b.read().select("k", "v"))
+    want = _rows(a.read().select("k", "v"))
+    assert got == want
+    assert (None, "null-row") in got        # NULL key survived the resync
+    assert not any(k == "z" for k, _ in got)  # dst-only key deleted
+    assert b.read().count() == len(got)     # no duplicate rows
+
+
+def test_merge_key_join_stores_cross_key_equal_offsets_once(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD, ["k"], num_buckets=2)
+    lin = t.merge(
+        _env(spark, [(5, "insert", "a", "x"), (5, "insert", "b", "y")]),
+        stream_id="s", batch_id=0, compact_threshold=None,
+        broadcast_winner_limit=0,
+    )
+    assert lin["totals"]["applied"] == 2
+    assert _rows(t.refresh().read().select("k", "v")) == [("a", "x"), ("b", "y")]
+
+
+def test_matview_refresh_tolerates_lost_race(spark, tmp_path):
+    """Two followers race one refresh: the loser sees its peer already
+    committed the identical (stream, batch) and reports a skip instead
+    of dying — same recovery as replicate."""
+    from pyspark.sql import types as TT
+
+    from migrator_spark.plans.matview import MaterializedView
+
+    base = LakeTable.create(
+        spark, str(tmp_path / "base"),
+        TT.StructType([
+            TT.StructField("k", TT.LongType(), False),
+            TT.StructField("g", TT.StringType(), True),
+        ]),
+        ["k"], num_buckets=2,
+    )
+    base.merge(
+        spark.createDataFrame(
+            [(0, "insert", 0, "a"), (1, "insert", 1, "b")],
+            "offset long, op string, k long, g string",
+        ),
+        stream_id="s", batch_id=0, compact_threshold=None,
+    )
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), base, ["g"], {"n": ("count", None)},
+        num_buckets=2,
+    )
+    mv.refresh()
+    base = base.refresh()
+    base.merge(
+        spark.createDataFrame(
+            [(10, "insert", 2, "a")], "offset long, op string, k long, g string"
+        ),
+        stream_id="s", batch_id=1, compact_threshold=None,
+    )
+    mv.base = base
+
+    # simulate the race: a PEER view instance commits the refresh for
+    # head, then our merge raises ConcurrentWriteError
+    real_merge = type(mv.table).merge
+    state = {"raced": False}
+
+    def racing_merge(self_table, env, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            peer = LakeTable.load(spark, self_table.path, io=self_table.io)
+            real_merge(peer, env, **kw)
+            raise ConcurrentWriteError("lost the version race")
+        return real_merge(self_table, env, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(mv.table), "merge", racing_merge):
+        res = mv.refresh()
+    assert res["skipped"] and res.get("lost_race_to_peer")
+    # the peer's commit IS the refresh: view state is correct
+    got = {r["g"]: r["n"] for r in mv.read().collect()}
+    assert got == {"a": 2, "b": 1}

@@ -224,3 +224,53 @@ def test_vacuum_grace_works_in_object_store_mode(spark, tmp_path):
     os.utime(pq_file, (old, old))  # age the FILE only — dirs don't exist on S3
     t.refresh().expire_snapshots(keep=1)
     assert not os.path.exists(pq_file)
+
+
+def test_minhash_rejects_non_divisible_banding(spark):
+    from migrator_spark.operators.similarity import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_candidates(df, num_hashes=64, bands=48)
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_candidates(df, num_hashes=16, bands=32)
+
+
+def test_lsh_udf_isolates_bad_rows(spark):
+    """One null / wrong-dim embedding must not re-bucket its whole
+    Arrow batch: valid rows keep their true buckets, bad rows get 0."""
+    import numpy as np
+
+    from migrator_spark.operators.similarity import make_hyperplane_lsh_udf
+
+    udf, planes = make_hyperplane_lsh_udf(dim=4, num_bits=8, seed=3)
+    rng = np.random.RandomState(0)
+    good = [rng.randn(4).tolist() for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(good)]
+    rows.append((100, None))              # null vector
+    rows.append((101, [1.0, 2.0]))        # wrong dimension
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", udf("embedding").alias("b")).collect()
+    }
+
+    def expect(v):
+        bits = (np.asarray(v) @ planes.T) > 0
+        return int((bits.astype(np.uint32) << np.arange(8, dtype=np.uint32)).sum())
+
+    for i, v in enumerate(good):
+        assert got[i] == expect(v), i
+    assert got[100] == 0 and got[101] == 0
+
+
+def test_corpus_centroids_string_ids_deterministic(spark):
+    from migrator_spark.operators.similarity import corpus_centroids
+
+    rows = [("doc-%02d" % i, [float(i), 1.0]) for i in (7, 3, 9, 1, 5)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = corpus_centroids(df, num_cells=3).orderBy("cell").collect()
+    # lexicographic id order: doc-01, doc-03, doc-05 -> cells 0,1,2
+    assert [(r["cell"], r["cvec"][0]) for r in got] == [
+        (0, 1.0), (1, 3.0), (2, 5.0)
+    ]
