@@ -453,7 +453,11 @@ def main(argv: list[str] | None = None) -> int:
         from migrator_spark.sources.files import export_table
 
         spark = get_spark("migrator-export", cores=args.cores)
-        cols = args.columns.split(",") if args.columns else None
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else None
+        ) or None
         n_rows = export_table(spark, args.table, args.dest, fmt=args.format,
                               resolve=args.resolve, columns=cols)
         print(json.dumps({"exported_rows": n_rows, "dest": args.dest, "format": args.format}))

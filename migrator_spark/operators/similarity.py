@@ -368,11 +368,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    tau: float | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for (id_a, id_b) candidate pairs —
     the verify stage after MinHash/SimHash blocking. Docs with fewer
     than ``n`` tokens have no shingles and drop out (inner join on an
-    empty gram set yields jaccard NULL → filtered by any threshold)."""
+    empty gram set yields jaccard NULL → filtered by any threshold).
+
+    ``tau``: threshold applied to the RAW ratio, BEFORE the 4-digit
+    display rounding — a pair at 0.79995 must fail a 0.8 threshold on
+    every engine (the SQL oracles filter raw and round for output;
+    filtering the rounded value here would pass it and flake the
+    boundary)."""
     grams = df.select(
         F.col(id_col).alias("_id"), _ngram_col(text_col, n).alias("_toks")
     ).filter(F.size("_toks") > 0)
@@ -380,14 +387,17 @@ def ngram_jaccard_pairs(
     gb = grams.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
-    return (
+    scored = (
         candidates.join(ga, "id_a")
         .join(gb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+        .withColumn(
+            "_jraw", inter / F.nullif(union.cast("double"), F.lit(0.0))
         )
+    )
+    if tau is not None:
+        scored = scored.filter(F.col("_jraw") >= tau)
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("_jraw"), 4).alias("jaccard")
     )
 
 
@@ -435,9 +445,7 @@ def jaccard_prefix_filter_pairs(
         )
         .distinct()
     )
-    return ngram_jaccard_pairs(df, cand, id_col, text_col, n).filter(
-        F.col("jaccard") >= tau
-    )
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n, tau=tau)
 
 
 # ---------------------------------------------------------------------------

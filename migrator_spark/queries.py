@@ -18,6 +18,7 @@ onto its universal envelope (/root/reference/datasources/mongo.go:
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -27,6 +28,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from migrator_spark.operators.dedup import lww_latest
+
+
+_REPLAY_TMPDIRS: list[str] = []
+atexit.register(
+    lambda: [shutil.rmtree(d, ignore_errors=True) for d in _REPLAY_TMPDIRS]
+)
+
+
+def _replay_tmpdir(prefix: str) -> str:
+    """Scratch-table dir for an engine-replay query, reaped at
+    interpreter exit. Returned NOT-yet-existing (LakeTable.create
+    mints the dir itself); eager deletion is unsafe because the
+    returned DataFrames are lazy — the driver collects them after the
+    query function returns, so process exit is the first moment the
+    dir is provably unreachable. Without the atexit hook every suite
+    run leaked full table copies into /tmp."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(tmp, ignore_errors=True)
+    _REPLAY_TMPDIRS.append(tmp)
+    return tmp
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -149,7 +171,16 @@ def q_cdc_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-window seenHashes dedup (datasources/base.go:
     454-511): raw count vs distinct (key, op, props) envelopes."""
     ev = envelope(spark, sf_dir)
-    sig = F.concat_ws("#", F.col("key"), F.col("op"), F.col("props"))
+    # coalesce each part EXPLICITLY on both engines: concat_ws SKIPS
+    # nulls while SQL `||` PROPAGATES them — a NULL-props event would
+    # count as a signature here and vanish from the oracle's
+    # count(DISTINCT). The sentinel makes NULL its own value.
+    sig = F.concat_ws(
+        "#",
+        F.coalesce(F.col("key"), F.lit("␀")),
+        F.coalesce(F.col("op"), F.lit("␀")),
+        F.coalesce(F.col("props"), F.lit("␀")),
+    )
     return (
         ev.withColumn("batch_id", F.floor(F.col("ev_offset") / 500))
         .groupBy("batch_id")
@@ -163,7 +194,9 @@ def q_cdc_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_BATCH_DEDUP = EV_CTE + """
 SELECT CAST(FLOOR(ev_offset / 500) AS BIGINT) AS batch_id,
        CAST(count(*) AS BIGINT) AS n_raw,
-       CAST(count(DISTINCT key || '#' || op || '#' || props) AS BIGINT) AS n_unique
+       CAST(count(DISTINCT coalesce(key, '␀') || '#' ||
+                           coalesce(op, '␀') || '#' ||
+                           coalesce(props, '␀')) AS BIGINT) AS n_unique
 FROM ev GROUP BY 1
 """
 
@@ -720,11 +753,9 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(
         d, id_col="doc_id", text_col="text", num_hashes=64, bands=32, ngram=3
     )
-    return (
-        ngram_jaccard_pairs(d, cand, n=3)
-        .filter(F.col("jaccard") >= 0.8)
-        .orderBy("id_a", "id_b")
-    )
+    # tau filters the RAW ratio inside (like the oracle's WHERE);
+    # filtering the rounded output would pass a 0.79995 boundary pair
+    return ngram_jaccard_pairs(d, cand, n=3, tau=0.8).orderBy("id_a", "id_b")
 
 
 SQL_MINHASH_LSH_DUPS = _sql_allpairs_jaccard(0.8)
@@ -1138,8 +1169,7 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType(), True),
         ]
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-apply-")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _replay_tmpdir("cdc-apply-")
     table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
     n = ev.agg(F.max("offset")).collect()[0][0] + 1
     step = max(1, n // 4)
@@ -1185,8 +1215,7 @@ def _cdc_two_batch_table(spark: SparkSession, sf_dir: str):
             T.StructField("props", T.StringType(), True),
         ]
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-travel-")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _replay_tmpdir("cdc-travel-")
     table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
     # TEST-HARNESS ONLY driver max() — mirrors q_cdc_apply_full
     n = ev.agg(F.max("offset")).collect()[0][0] + 1
@@ -1296,8 +1325,7 @@ def q_cdc_replicate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType(), True),
         ]
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-repl-")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _replay_tmpdir("cdc-repl-")
     a = LakeTable.create(spark, tmp + "/a", payload, ["key"], num_buckets=8)
     b = LakeTable.create(spark, tmp + "/b", payload, ["key"], num_buckets=8)
     # TEST-HARNESS ONLY driver max() — mirrors q_cdc_apply_full
@@ -1476,8 +1504,7 @@ def q_mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("v", T.LongType(), True),
         ]
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-mv-")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _replay_tmpdir("cdc-mv-")
     base = LakeTable.create(spark, tmp + "/base", payload, ["key"],
                             num_buckets=8)
     mv = MaterializedView.create(
@@ -1601,8 +1628,7 @@ def q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType(), True),
         ]
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-patch-")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _replay_tmpdir("cdc-patch-")
     table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
     n = sparse.agg(F.max("offset")).collect()[0][0] + 1
     step = max(1, n // 4)
@@ -1691,8 +1717,7 @@ def q_cdc_patch_set_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType(), True),
         ]
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-patch-null-")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _replay_tmpdir("cdc-patch-null-")
     table = LakeTable.create(spark, tmp, payload, ["key"], num_buckets=8)
     n = sparse.agg(F.max("offset")).collect()[0][0] + 1
     step = max(1, n // 4)

@@ -155,7 +155,13 @@ def import_into_table(
     read, _ = FORMATS[fmt]
     table = LakeTable.load(spark, table_path)
     keys = key_cols or table.key_cols
-    name = os.path.basename(src_path)
+    # normpath first: basename('/data/a/') is '' — two trailing-slash
+    # imports would otherwise share one state doc, staging namespace,
+    # and stream-id prefix (and the second's fresh rmtree would eat
+    # the first's staged bytes)
+    name = os.path.basename(os.path.normpath(src_path))
+    if not name:
+        raise ValueError(f"cannot derive an import name from {src_path!r}")
     imports_dir = os.path.join(table_path, "_imports")
     state_path = os.path.join(imports_dir, f"{name}.json")
     prior = table.io.read_json(state_path) if table.io.exists(state_path) else None
@@ -174,6 +180,10 @@ def import_into_table(
         and prior.get("source_fp") == fp
         and prior.get("nonce")
         and (id_start_offset is None or int(prior["start"]) == id_start_offset)
+        # the docstring's fresh-import contract: a caller asking for a
+        # DIFFERENT commit granularity gets a fresh run, not a silent
+        # resume at the old step
+        and (batch_size is None or int(prior["step"]) == int(batch_size))
         and table.io.exists(
             os.path.join(imports_dir, f"_staged-{name}-{prior['nonce']}", "_SUCCESS")
         )
@@ -266,8 +276,18 @@ def import_into_table(
         cdir = os.path.join(staged_dir, f"_chunk={b}")
         if table.io.exists(cdir):
             chunk = spark.read.schema(env_schema).parquet(cdir)
-        else:  # empty source: still record one committed (empty) batch
+        elif total == 0:  # empty source: still record one committed (empty) batch
             chunk = spark.createDataFrame([], env_schema)
+        else:
+            # a non-empty staging guarantees every chunk dir exists —
+            # absence means the staged bytes were deleted externally;
+            # committing an empty batch here would mark the import done
+            # and silently drop the chunk's rows
+            raise FileNotFoundError(
+                f"staged chunk {cdir} is missing (staging deleted "
+                f"mid-import?) — aborting instead of committing an "
+                f"empty batch for it"
+            )
         table = LakeTable.load(spark, table_path)
         results.append(
             table.merge(chunk, stream_id=stream_id, batch_id=b,

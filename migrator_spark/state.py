@@ -56,15 +56,26 @@ class StateStore:
         os.replace(tmp, p)
 
     def update(self, pipeline_id: str, **fields) -> dict:
-        """Atomic read-modify-write: a short flock serializes concurrent
-        updaters (a backfill and a stream sharing one pipeline_id would
-        otherwise interleave get/set and lose counter increments)."""
+        """Atomic field overwrite: a short flock serializes concurrent
+        updaters. NOTE this only serializes the WRITE — a caller that
+        computed ``fields`` from its own earlier ``get()`` still races
+        (lost counter increments); use :meth:`apply` for
+        read-modify-write values like lineage totals."""
+        return self.apply(pipeline_id, lambda _st: fields)
+
+    def apply(self, pipeline_id: str, fn) -> dict:
+        """Read-modify-write with the TRANSFORM under the flock:
+        ``fn(current_state) -> fields-to-set`` runs while the lock is
+        held, so two concurrent accumulators (a backfill and a stream
+        sharing one pipeline_id — each under a DIFFERENT run_lock kind)
+        fold their increments instead of overwriting each other from
+        stale reads."""
         lock_path = self._path(pipeline_id) + ".updlock"
         fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             st = self.get(pipeline_id)
-            st.update(fields)
+            st.update(fn(st) or {})
             st["updated_at"] = time.time()
             self.set(pipeline_id, st)
             return st
@@ -133,8 +144,11 @@ class MemStateStore(StateStore):
         self._docs[pipeline_id] = dict(state)
 
     def update(self, pipeline_id: str, **fields) -> dict:
+        return self.apply(pipeline_id, lambda _st: fields)
+
+    def apply(self, pipeline_id: str, fn) -> dict:
         st = self.get(pipeline_id)
-        st.update(fields)
+        st.update(fn(st) or {})
         st["updated_at"] = time.time()
         self.set(pipeline_id, st)
         return st

@@ -99,17 +99,25 @@ def make_apply_batch(
         if callbacks is not None:
             callbacks.fire("replication_progress", record)
         if state is not None and pipeline_id is not None and not lineage.get("skipped"):
-            st = state.get(pipeline_id)
-            tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
-            for k in tot:
-                tot[k] += lineage["totals"].get(k, 0)
-            state.update(
-                pipeline_id,
-                replication_status="streaming",
-                lineage=tot,
-                last_batch_id=batch_id,
-                last_batch_sec=elapsed,
-            )
+            # fold under the state lock (StateStore.apply): a backfill
+            # sharing this pipeline_id accumulates concurrently, and a
+            # read-then-update from a stale snapshot would lose its
+            # increments
+            def _fold(st):
+                tot = st.get(
+                    "lineage",
+                    {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+                )
+                for k in tot:
+                    tot[k] += lineage["totals"].get(k, 0)
+                return {
+                    "replication_status": "streaming",
+                    "lineage": tot,
+                    "last_batch_id": batch_id,
+                    "last_batch_sec": elapsed,
+                }
+
+            state.apply(pipeline_id, _fold)
 
     return apply_batch
 

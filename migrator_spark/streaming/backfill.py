@@ -96,6 +96,25 @@ def _run_backfill_locked(
     try:
         hi = int(bounds["hi"])
         step = batch_size or (hi - effective_start + 1)
+        # The merge guard is a per-stream batch-id WATERMARK (skip
+        # batch_id <= max committed) and batch_id = chunk start offset,
+        # so correctness of a resume depends on the chunk GRID being
+        # the one the committed ids came from: a resume re-gridded with
+        # a different batch_size would start a chunk at an
+        # already-committed lo and the whole (wider) chunk would be
+        # skipped as a replay — silent data loss. Pin the step in the
+        # state doc and refuse a conflicting resume.
+        prior_step = state.get(pipeline_id).get("migration_step")
+        if saved > 0 and prior_step:
+            if batch_size is not None and int(batch_size) != int(prior_step):
+                raise ValueError(
+                    f"resume with batch_size={batch_size} conflicts with the "
+                    f"interrupted run's batch_size={prior_step}: the committed "
+                    f"chunk grid would mis-align and skip events. Resume with "
+                    f"--batch-size {prior_step} (or omit it)."
+                )
+            step = int(prior_step)
+        state.update(pipeline_id, migration_step=int(step))
         lo = effective_start
         while lo <= hi:
             chunk = window.filter((F.col("offset") >= lo) & (F.col("offset") < lo + step))
@@ -118,19 +137,35 @@ def _run_backfill_locked(
                 update_mode=update_mode,
             )
             lo += step
-            st = state.get(pipeline_id)
-            tot = st.get("lineage", {"events": 0, "applied": 0, "deduped": 0, "deleted": 0})
-            if not lineage.get("skipped"):
-                for k in tot:
-                    tot[k] += lineage["totals"].get(k, 0)
-            state.update(
-                pipeline_id,
-                migration_offset=min(lo, hi + 1),
-                migration_total=st.get("migration_total", 0)
-                + (lineage["totals"]["events"] if not lineage.get("skipped") else 0),
-                lineage=tot,
-            )
+            new_off = min(lo, hi + 1)
+
+            # fold under the state lock (StateStore.apply): a stream
+            # sharing this pipeline_id accumulates lineage concurrently
+            def _fold(st, lineage=lineage, new_off=new_off):
+                tot = st.get(
+                    "lineage",
+                    {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
+                )
+                ev = 0
+                if not lineage.get("skipped"):
+                    for k in tot:
+                        tot[k] += lineage["totals"].get(k, 0)
+                    ev = lineage["totals"]["events"]
+                return {
+                    "migration_offset": new_off,
+                    "migration_total": st.get("migration_total", 0) + ev,
+                    "lineage": tot,
+                }
+
+            state.apply(pipeline_id, _fold)
             cb.fire("migration_progress", {k: v for k, v in lineage.items() if k != "per_bucket"})
+    except KeyboardInterrupt:
+        # Ctrl-C: record the stop (the run_lock dies with the process,
+        # but a status left 'in_progress' misleads the status command
+        # forever) and let the interrupt propagate
+        state.update(pipeline_id, migration_status="stopped",
+                     migration_issue="interrupted")
+        raise
     except Exception as e:  # mirror status=failed + issue text (base.go:123-140)
         state.update(pipeline_id, migration_status="failed", migration_issue=str(e))
         cb.fire("migration_error", e)

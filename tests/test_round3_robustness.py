@@ -218,7 +218,11 @@ def test_per_bucket_lineage_exact_vs_independent_fold(spark):
 def test_import_resume_mismatch_falls_back_to_fresh(spark, tmp_path):
     """Resume is only bit-identical with the same step and partition
     sizes; a resume attempt with a DIFFERENT batch_size must not lose
-    rows — the recorded step wins and the import still completes."""
+    rows. Contract (round 5): a caller asking for a different commit
+    granularity gets a FRESH import at the requested step — new staging
+    nonce in the stream id, so the old stream's committed (stream,
+    batch) records cannot swallow the re-gridded chunks — and a full
+    LWW-idempotent reapply; every row still lands."""
     import pytest
 
     src = str(tmp_path / "in.csv")
@@ -249,14 +253,15 @@ def test_import_resume_mismatch_falls_back_to_fresh(spark, tmp_path):
         LakeTable.merge = orig_merge
     assert LakeTable.load(spark, tdir).count() == 100
 
-    # resume with a different batch_size: the recorded step (100) must
-    # be used, NOT 250 — otherwise batch ids stop lining up with the
-    # committed chunks and the skip guard drops rows silently
+    # a different batch_size does NOT silently resume at the old grid:
+    # fresh stream (new nonce), requested step, full idempotent reapply
     res = import_into_table(spark, tdir, src, fmt="csv", batch_size=250)
     t = LakeTable.load(spark, tdir)
     assert t.count() == 300
-    assert res["batches"] == 3  # ceil(300/100) with the recorded step
-    assert t.manifest["lineage_totals"]["applied"] == 300  # no double-apply
+    assert res["batches"] == 2  # ceil(300/250) at the REQUESTED step
+    assert "+250#" in res["stream_id"]
+    offs = sorted(r["_last_offset"] for r in t.read().select("_last_offset").collect())
+    assert len(offs) == 300 and offs == sorted(set(offs))  # no dup keys
 
     # a changed SOURCE under the same basename must not hijack the
     # unfinished state: different sizes -> fresh import, still correct

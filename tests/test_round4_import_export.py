@@ -50,11 +50,15 @@ def test_explicit_start_rechunk_does_not_lose_rows(spark, tmp_path):
     same start but step=150. The old stream id scheme reused
     import-<name>@<start> across both runs while RE-CHUNKING with the
     new step, so batch 0 (now offsets 0..149) was skipped as
-    "committed" and offsets 100..149 were silently dropped. Now the
-    matching explicit start resumes with the RECORDED step (batch ids
-    keep lining up with committed chunks) and every row lands; a
-    DIFFERENT explicit start gets a distinct stream id (start+step are
-    both embedded) and a full LWW-idempotent reapply."""
+    "committed" and offsets 100..149 were silently dropped. The
+    documented contract: a caller asking for a DIFFERENT commit
+    granularity gets a FRESH import (new step + new staging nonce in
+    the stream id → the old stream's committed (stream, batch) records
+    can't swallow the re-gridded chunks) and a full LWW-idempotent
+    reapply — every row lands, nothing is silently resumed at a step
+    the caller didn't ask for. Same explicit start with the SAME (or
+    omitted) batch_size still resumes the recorded stream; a DIFFERENT
+    explicit start likewise gets a distinct stream id."""
     src = str(tmp_path / "in.csv")
     _write_src(spark, src)
     tdir = str(tmp_path / "table")
@@ -73,11 +77,10 @@ def test_explicit_start_rechunk_does_not_lose_rows(spark, tmp_path):
         LakeTable.merge = orig
     assert LakeTable.load(spark, tdir).count() == 100
 
-    res = import_into_table(
-        spark, tdir, src, fmt="csv", batch_size=150, id_start_offset=0
-    )
-    # same explicit start -> resume with the recorded step, not 150,
-    # AND the recorded staging nonce (same stream identity)
+    # same explicit start, OMITTED batch_size -> resume the recorded
+    # stream (recorded step AND staging nonce: same stream identity,
+    # committed chunk 0 skips, chunks 1..2 land)
+    res = import_into_table(spark, tdir, src, fmt="csv", id_start_offset=0)
     assert res["stream_id"].startswith("import-in.csv@0+100#")
     assert res["batches"] == 3
     t = LakeTable.load(spark, tdir)
@@ -85,6 +88,31 @@ def test_explicit_start_rechunk_does_not_lose_rows(spark, tmp_path):
     offs = sorted(r["_last_offset"] for r in t.read().select("_last_offset").collect())
     assert offs == list(range(300))
     assert t.manifest["lineage_totals"]["applied"] == 300  # no double-apply
+
+    # a DIFFERENT batch_size on a killed import must NOT silently
+    # resume at the old grid: fresh stream id (new step + new nonce),
+    # full LWW-idempotent reapply, identical final state
+    dying, orig = _kill_after(2)
+    LakeTable.merge = dying
+    try:
+        try:
+            import_into_table(
+                spark, tdir, src, fmt="csv", batch_size=100, id_start_offset=500
+            )
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable.merge = orig
+    res_regrid = import_into_table(
+        spark, tdir, src, fmt="csv", batch_size=150, id_start_offset=500
+    )
+    assert res_regrid["stream_id"].startswith("import-in.csv@500+150#")
+    assert not res_regrid["skipped"]
+    assert res_regrid["batches"] == 2
+    t = LakeTable.load(spark, tdir)
+    assert t.count() == 300
+    offs = sorted(r["_last_offset"] for r in t.read().select("_last_offset").collect())
+    assert offs == list(range(500, 800))
 
     # a DIFFERENT explicit start on a half-dead state must NOT inherit
     # the old stream's committed batches: distinct stream id, full apply

@@ -274,3 +274,117 @@ def test_corpus_centroids_string_ids_deterministic(spark):
     assert [(r["cell"], r["cvec"][0]) for r in got] == [
         (0, 1.0), (1, 3.0), (2, 5.0)
     ]
+
+
+# ---------------------------------------------------------------- ops layer
+
+
+def _mini_log(tmp_path):
+    from migrator_spark.gen import generate_event_log
+
+    d = str(tmp_path / "events")
+    generate_event_log(d, num_events=400, num_keys=40, hot_fraction=0.3,
+                       seed=7, num_files=2)
+    return d
+
+
+def test_backfill_resume_rejects_conflicting_batch_size(spark, tmp_path):
+    """The merge guard is a per-stream batch-id watermark with
+    batch_id = chunk start offset: a resume re-gridded by a different
+    batch_size would start a chunk at an already-committed lo and skip
+    the whole (wider) chunk — silent event loss. The step is pinned in
+    the state doc and a conflicting resume refuses loudly."""
+    from migrator_spark.plans.laketable import LakeTable as LT
+    from migrator_spark.schema import KEY_COLS, PAYLOAD_FIELDS
+    PAYLOAD_SCHEMA = T.StructType(PAYLOAD_FIELDS)
+    from migrator_spark.state import StateStore
+    from migrator_spark.streaming.backfill import run_backfill
+
+    log = _mini_log(tmp_path)
+    LT.create(spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    state = StateStore(str(tmp_path / "state"))
+    # simulate an interrupted bs=100 run that committed one chunk
+    run_backfill(spark, log, str(tmp_path / "t"), state, "p1",
+                 max_size=100, batch_size=100, salt_buckets=2)
+    st = state.get("p1")
+    assert st["migration_step"] == 100 and st["migration_offset"] == 100
+    with pytest.raises(ValueError, match="batch_size"):
+        run_backfill(spark, log, str(tmp_path / "t"), state, "p1",
+                     batch_size=37, salt_buckets=2)
+    # resume with the pinned step (omitted batch_size) completes
+    final = run_backfill(spark, log, str(tmp_path / "t"), state, "p1",
+                         salt_buckets=2)
+    assert final["migration_status"] == "completed"
+    from migrator_spark.gen import fold_oracle, load_events_pandas
+
+    assert LT.load(spark, str(tmp_path / "t")).read().count() == len(
+        fold_oracle(load_events_pandas(log))
+    )
+
+
+def test_backfill_keyboard_interrupt_records_stopped(spark, tmp_path):
+    from migrator_spark.plans.laketable import LakeTable as LT
+    from migrator_spark.schema import KEY_COLS, PAYLOAD_FIELDS
+    PAYLOAD_SCHEMA = T.StructType(PAYLOAD_FIELDS)
+    from migrator_spark.state import StateStore
+    from migrator_spark.streaming.backfill import run_backfill
+
+    log = _mini_log(tmp_path)
+    LT.create(spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, KEY_COLS, num_buckets=4)
+    state = StateStore(str(tmp_path / "state"))
+
+    def boom(df):
+        raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        run_backfill(spark, log, str(tmp_path / "t"), state, "p1",
+                     transform=boom, salt_buckets=2)
+    st = state.get("p1")
+    assert st["migration_status"] == "stopped"
+    assert st["migration_issue"] == "interrupted"
+
+
+def test_state_apply_folds_under_lock(tmp_path):
+    from migrator_spark.state import MemStateStore, StateStore
+
+    for store in (StateStore(str(tmp_path / "s")), MemStateStore()):
+        store.apply("p", lambda st: {"n": st.get("n", 0) + 5})
+        store.apply("p", lambda st: {"n": st.get("n", 0) + 7})
+        assert store.get("p")["n"] == 12
+
+
+def test_import_rejects_unnameable_source(spark, tmp_path):
+    from migrator_spark.plans.laketable import LakeTable as LT
+    from migrator_spark.sources.files import import_into_table
+
+    t = LT.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType(), False),
+                      T.StructField("v", T.StringType(), True)]),
+        ["k"], num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="import name"):
+        import_into_table(spark, str(tmp_path / "t"), "/", fmt="csv")
+    # trailing slash is normalized, not rejected
+    src = tmp_path / "srcdir"
+    src.mkdir()
+    (src / "d.csv").write_text("k,v\n1,a\n2,b\n")
+    res = import_into_table(spark, str(tmp_path / "t"), str(src) + "/", fmt="csv")
+    assert "import-srcdir@" in res["stream_id"]
+    assert t.refresh().read().count() == 2
+
+
+def test_jaccard_tau_filters_raw_not_rounded(spark):
+    """raw = 2/3 rounds to 0.6667: a tau between them must EXCLUDE the
+    pair (the SQL oracles filter the raw ratio; filtering the rounded
+    value would flake the driver's hash gate at the boundary)."""
+    from migrator_spark.operators.similarity import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    keep = ngram_jaccard_pairs(docs, cand, n=3, tau=0.6666).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in keep] == [(1, 2, 0.6667)]
+    drop = ngram_jaccard_pairs(docs, cand, n=3, tau=0.6668).collect()
+    assert drop == []
