@@ -250,9 +250,15 @@ def main(argv: list[str] | None = None) -> int:
                     rec = json.load(f)
                 st["bench"] = {
                     k: rec.get(k)
-                    for k in ("efficiency_vs_exchange_control", "ann_recall_at_10")
+                    for k in ("efficiency_vs_exchange_control", "ann_recall_at_10",
+                              "ivf_recall_at_10", "control_fixed_sec")
                     if rec.get(k) is not None
                 }
+                host = rec.get("cdc", {}).get("host_during_leg")
+                if host:
+                    # steal/user profile sampled during the record's CDC
+                    # leg: a slow record with high steal is the host
+                    st["bench"]["host_during_cdc"] = host
             except Exception:
                 pass
         print(json.dumps(st))
