@@ -1,0 +1,167 @@
+"""Winnowing document fingerprints (rolling-hash selection).
+
+The local document-fingerprinting algorithm of Schleimer, Wilkerson &
+Aiken, "Winnowing: Local Algorithms for Document Fingerprinting"
+(SIGMOD 2003) — the scheme behind MOSS: hash every character k-gram,
+slide a window of ``w`` consecutive gram hashes, and keep the minimum
+of each window (ties broken RIGHTMOST, the paper's robust-winnowing
+rule so repeated text selects stable positions). The selected
+(position, hash) set is the document's fingerprint; two documents
+sharing fingerprints share a substring of length ≥ k, and any shared
+substring of length ≥ k + w - 1 is GUARANTEED to produce at least one
+shared fingerprint — detection with a density of ~2/(w+1) of all
+grams. (Reference parity note: the reference fingerprints whole docs
+with sha256 for dedup — datasources/base.go:454-465; winnowing is the
+substring-level generalization a training-data pipeline needs for
+contained/partial duplication, per the survey's LLM-pipeline ops.)
+
+Spark-first design — everything stays JVM-side (no Python in the hot
+path): normalize → posexplode(sequence) of gram positions →
+``substring`` + ``sha2`` + ``conv`` for a 32-bit gram hash → a
+partitionBy(doc) window min over ``ROWS BETWEEN CURRENT ROW AND w-1
+FOLLOWING`` → distinct. The min-with-rightmost-tie is packed into ONE
+int64 key (hash·2^20 + (2^20-1-p)) so a single ``min()`` window
+aggregate implements the paper's tie rule exactly; the same integer
+expression is replicated verbatim by the DuckDB oracle (see
+SQL in migrator_spark.queries), making the approximate-detection
+semantics hash-checkable end to end, like SimHash/MinHash here.
+
+Scale shape: the explode is O(chars) rows — the same cost family as
+the shingle-based MinHash pipeline; the only shuffle partitions by
+doc_id (embarrassingly parallel across documents, skew bounded by the
+longest single document). Position packing caps documents at 2^20
+normalized chars (~1 MB text); longer docs raise rather than silently
+corrupt — chunk upstream if a corpus legitimately exceeds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# position-packing base: doc positions must stay below this so
+# key = hash * POS_BASE + (POS_BASE - 1 - p) stays exact in int64
+# (hash < 2^32 → key < 2^52, also float-safe)
+POS_BASE = 1 << 20
+
+
+def _norm_col(text_col: str):
+    """The shared canonicalization: lowercase, collapse every
+    whitespace run to one space, THEN trim. Collapse-before-trim is
+    deliberate — Spark's trim()/DuckDB's trim() strip only SPACES, so
+    trimming first would leave a leading '\\t' to collapse into a
+    position-shifting leading space; after the collapse the only
+    possible edge whitespace IS a space, which every engine trims
+    identically. Oracle: trim(regexp_replace(lower(text), '\\s+', ' ',
+    'g'))."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Fingerprint set per document: (id, pos, fp) rows where ``pos``
+    is the 1-based position of a selected k-gram in the normalized
+    text and ``fp`` its 32-bit hash (first 8 hex digits of sha256,
+    base-16-decoded — SQL-recomputable). Documents shorter than
+    ``k + w - 1`` normalized chars have no full window and drop out
+    (the paper's guarantee needs one full window)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    norm = df.select(
+        F.col(id_col).alias("_id"), _norm_col(text_col).alias("_norm")
+    ).filter(F.length("_norm") >= k + w - 1)
+    # enforce the packing bound loudly (see module docstring)
+    norm = norm.withColumn(
+        "_nlen",
+        F.when(F.length("_norm") < POS_BASE, F.length("_norm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("winnow_fingerprints: document "),
+                    F.col("_id").cast("string"),
+                    F.lit(f" exceeds {POS_BASE - 1} normalized chars"),
+                )
+            )
+        ),
+    )
+    grams = norm.select(
+        "_id",
+        F.posexplode(F.sequence(F.lit(1), F.col("_nlen") - k + 1)).alias("_i", "p"),
+        F.expr(f"substring(_norm, p, {k})").alias("_g"),
+    ).drop("_i")
+    # 32-bit gram hash: conv() of the first 8 sha256 hex digits — the
+    # oracle rebuilds the identical integer nibble-by-nibble
+    hashed = grams.select(
+        "_id",
+        "p",
+        F.conv(F.substring(F.sha2(F.col("_g"), 256), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    # one int64 key encodes (min hash, rightmost position) for the
+    # window min: smaller hash wins; equal hashes → larger p wins
+    # because (POS_BASE-1-p) is smaller
+    keyed = hashed.select(
+        "_id",
+        "p",
+        (F.col("_h") * POS_BASE + (F.lit(POS_BASE - 1) - F.col("p"))).alias("_kv"),
+    )
+    win = Window.partitionBy("_id").orderBy("p").rowsBetween(0, w - 1)
+    selected = (
+        keyed.select(
+            "_id",
+            F.min("_kv").over(win).alias("_mk"),
+            F.count(F.lit(1)).over(win).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == w)  # full windows only
+        .select(
+            F.col("_id").alias(id_col),
+            (F.lit(POS_BASE - 1) - F.col("_mk") % POS_BASE).alias("pos"),
+            (F.col("_mk") / POS_BASE).cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+    return selected
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 50,
+) -> DataFrame:
+    """MOSS-style containment pairs: documents sharing ≥ ``min_shared``
+    DISTINCT fingerprint hashes. ``max_docs_per_fp`` drops fingerprints
+    appearing in more than that many documents BEFORE the self-join —
+    the standard boilerplate/stop-gram filter, and the anti-quadratic
+    cap that keeps a hot fingerprint (a license header shared by a
+    million docs) from exploding the join. The cap is a deterministic
+    rule on the data, so the SQL oracle replicates it exactly (unlike a
+    size-threshold fallback it never changes answers silently — a
+    capped fingerprint is REMOVED for every document)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("_id"), "fp"
+    ).distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))  # fps distinct per (id, fp)
+        .filter(F.col("_nd") <= max_docs_per_fp)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")  # AQE broadcasts rare when small
+    a = kept.select(F.col("_id").alias("id_a"), "fp")
+    b = kept.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))  # fp distinct per pair side
+        .filter(F.col("shared") >= min_shared)
+    )

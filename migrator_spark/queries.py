@@ -813,6 +813,109 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD_DUPS = _sql_allpairs_jaccard(0.7)
 
 
+# winnowing fingerprints (Schleimer et al. 2003): the SQL replicates
+# the gram hash (first 8 sha256 hex digits, nibble-decoded), the
+# packed min-with-rightmost-tie window key, and full-window selection
+# EXACTLY — see migrator_spark/operators/winnow.py
+_SQL_WINNOW_SEL = r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, norm, len(norm) - 16 + 1 AS ng
+  FROM d WHERE len(norm) >= 23
+),
+pos AS (SELECT doc_id, unnest(range(1, ng + 1)) AS p, norm FROM g),
+hx AS (
+  SELECT doc_id, p, sha256(substr(norm, CAST(p AS INT), 16)) AS h FROM pos
+),
+hv AS (
+  SELECT doc_id, p,
+         (strpos('0123456789abcdef', substr(h,1,1))-1)*268435456
+       + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216
+       + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576
+       + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536
+       + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096
+       + (strpos('0123456789abcdef', substr(h,6,1))-1)*256
+       + (strpos('0123456789abcdef', substr(h,7,1))-1)*16
+       + (strpos('0123456789abcdef', substr(h,8,1))-1)       AS fph
+  FROM hx
+),
+keyed AS (SELECT doc_id, p, fph * 1048576 + (1048575 - p) AS kv FROM hv),
+wmin AS (
+  SELECT doc_id,
+         min(kv)  OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk,
+         count(*) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+  FROM keyed
+),
+sel AS (
+  SELECT DISTINCT doc_id, mk // 1048576 AS fp FROM wmin WHERE cnt = 8
+)
+"""
+
+
+def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile (k=16, w=8): count and
+    hash range of the selected rolling-hash minima. A tight per-doc
+    gate on the selection semantics (tie rule, window edges, short-doc
+    cutoff) — any divergence moves some document's count."""
+    from migrator_spark.operators.winnow import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(d, k=16, w=8)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+        )
+    )
+
+
+SQL_WINNOW_FP_STATS = _SQL_WINNOW_SEL + r"""
+, selp AS (
+  SELECT DISTINCT doc_id, 1048575 - (mk % 1048576) AS pos, mk // 1048576 AS fp
+  FROM wmin WHERE cnt = 8
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(min(fp) AS BIGINT) AS fp_min,
+       CAST(max(fp) AS BIGINT) AS fp_max
+FROM selp GROUP BY doc_id
+"""
+
+
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style containment pairs: documents sharing ≥ 4 distinct
+    winnowing fingerprints after the deterministic stop-gram rule
+    (fingerprints in > 50 docs removed for everyone — oracle-replicable,
+    and the anti-quadratic cap on a boilerplate fingerprint shared by a
+    million docs). Winnowing guarantees any shared substring of
+    ≥ k+w-1 = 23 normalized chars yields a shared fingerprint, so this
+    detects CONTAINED duplication the whole-doc fingerprint misses."""
+    from migrator_spark.operators.winnow import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, k=16, w=8, min_shared=4, max_docs_per_fp=50
+    ).orderBy("id_a", "id_b")
+
+
+SQL_WINNOW_DUPS = _SQL_WINNOW_SEL + r"""
+, rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS c FROM sel GROUP BY fp) WHERE c <= 50
+),
+kept AS (SELECT doc_id, fp FROM sel JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 4
+"""
+
+
 ANN_NUM_BITS = 6   # 64 buckets per table
 ANN_TABLES = 3     # independent codes (recall amplification, 3x storage)
 ANN_PROBES = 6     # score-ranked probes per table -> reads ~3*6/64 = 28%
@@ -1819,6 +1922,8 @@ QUERIES = {
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
+    "winnow_dups": q_winnow_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall_at_10": q_ann_recall_at_10,
@@ -1865,6 +1970,8 @@ ORACLES = {
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
     "simhash_dups": SQL_SIMHASH_DUPS,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
+    "winnow_fingerprint_stats": SQL_WINNOW_FP_STATS,
+    "winnow_dups": SQL_WINNOW_DUPS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_recall_at_10": SQL_ANN_RECALL_AT_10,

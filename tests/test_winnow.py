@@ -1,0 +1,137 @@
+"""Winnowing fingerprints vs an independent pure-Python fold.
+
+The reference implementation below follows Schleimer/Wilkerson/Aiken
+(SIGMOD 2003) directly — hash every k-gram of the normalized text,
+slide a w-window, keep each window's minimum with ties broken
+RIGHTMOST — sharing no code with the Spark operator."""
+
+import hashlib
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+
+def _norm(text: str) -> str:
+    # collapse-then-trim, mirroring the operator (see _norm_col)
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _gram_hash(g: str) -> int:
+    return int(hashlib.sha256(g.encode()).hexdigest()[:8], 16)
+
+
+def winnow_py(text: str, k: int = 8, w: int = 4) -> set[tuple[int, int]]:
+    """Independent fold: {(1-based pos, 32-bit hash)} of selected grams."""
+    s = _norm(text)
+    n = len(s) - k + 1
+    if n < w:
+        return set()
+    hs = [_gram_hash(s[i : i + k]) for i in range(n)]
+    out = set()
+    for start in range(n - w + 1):
+        best = None
+        for i in range(start, start + w):  # rightmost min: >= keeps later i
+            if best is None or hs[i] <= hs[best]:
+                best = i
+        out.add((best + 1, hs[best]))
+    return out
+
+
+def _spark_fps(spark, rows, k=8, w=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    return by_doc
+
+
+def test_winnow_matches_python_fold(spark):
+    random.seed(11)
+    rows = []
+    alpha = "abcdef \t\n"
+    for i in range(40):
+        rows.append((i, "".join(random.choice(alpha) for _ in range(random.randint(0, 120)))))
+    rows.append((100, "The  QUICK\nbrown fox jumps over the lazy dog"))
+    rows.append((101, "aaaaaaaaaaaaaaaaaaaaaaaa"))  # all-equal hashes: tie rule
+    rows.append((102, "ababababababababababab"))    # period-2 repeats
+    got = _spark_fps(spark, rows)
+    for i, text in rows:
+        assert got.get(i, set()) == winnow_py(text), f"doc {i}: {text!r}"
+
+
+def test_winnow_short_docs_drop_out(spark):
+    # < k + w - 1 = 11 normalized chars -> no full window -> absent
+    rows = [(1, "abcdefghij"), (2, "abcdefghijk")]
+    got = _spark_fps(spark, rows)
+    assert 1 not in got
+    assert got[2] == winnow_py("abcdefghijk")
+
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    """The paper's guarantee: a shared substring of length >= k + w - 1
+    yields at least one shared fingerprint HASH."""
+    shared = "common stretch of text long enough to guarantee a match"
+    rows = [(1, "prefix one " + shared + " tail A"),
+            (2, "completely different lead-in " + shared + " other")]
+    got = _spark_fps(spark, rows)
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h1 & h2
+
+
+def test_winnow_overlap_pairs_matches_bruteforce(spark):
+    random.seed(7)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(12):
+        mutated = list(base)
+        for _ in range(random.randint(0, 12)):
+            mutated[random.randrange(len(mutated))] = random.choice("xyz ")
+        rows.append((i, "".join(mutated)))
+    rows += [(50, "entirely unrelated content w" * 3), (51, "entirely unrelated content w" * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in winnow_overlap_pairs(df, min_shared=2, max_docs_per_fp=50).collect()
+    }
+    # brute force over the python fold, with the same rare-fp rule
+    fps = {i: {h for _, h in winnow_py(t)} for i, t in rows}
+    from collections import Counter
+
+    nd = Counter(h for s in fps.values() for h in s)
+    rare = {h for h, c in nd.items() if c <= 50}
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            shared = len(fps[ids[x]] & fps[ids[y]] & rare)
+            if shared >= 2:
+                want[(ids[x], ids[y])] = shared
+    assert got == want
+
+
+def test_winnow_hot_fingerprint_cap_is_semantic(spark):
+    """max_docs_per_fp removes a too-common fingerprint for EVERY pair
+    (deterministic rule, oracle-replicable), not just some."""
+    rows = [(i, "shared boilerplate header line one two three") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = winnow_overlap_pairs(df, min_shared=1, max_docs_per_fp=50).count()
+    assert all_pairs == 10  # 5 choose 2 — identical docs all pair up
+    capped = winnow_overlap_pairs(df, min_shared=1, max_docs_per_fp=4).count()
+    assert capped == 0  # every fp appears in 5 docs -> all dropped
+
+
+def test_winnow_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x" * 30)], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)
