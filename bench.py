@@ -197,8 +197,10 @@ def _cpu_jiffies(n_cpus: int) -> int:
                     v = [int(x) for x in line.split()[1:]]
                     # minus idle+iowait+steal: hypervisor steal is not
                     # work this job did (this sandbox VM shows 10-20%
-                    # steal under load, varying run to run)
-                    busy += sum(v) - v[3] - v[4] - (v[7] if len(v) > 7 else 0)
+                    # steal under load, varying run to run); guest/
+                    # guest_nice (fields 9-10) are already inside
+                    # user/nice, so cap the sum at the first 8 fields
+                    busy += sum(v[:8]) - v[3] - v[4] - (v[7] if len(v) > 7 else 0)
     return busy
 
 
@@ -216,11 +218,7 @@ class _HostLoadSampler:
     high `steal_pct` (or low `user_pct` on a busy leg) is the host,
     one with a normal profile is attributable to code."""
 
-    def __init__(self, period: float = 2.0):
-        import threading
-        self._period = period
-        self._stop = threading.Event()
-        self._t = threading.Thread(target=self._run, daemon=True)
+    def __init__(self):
         self._samples: list[tuple[int, ...]] = []
 
     @staticmethod
@@ -231,18 +229,13 @@ class _HostLoadSampler:
                     return tuple(int(x) for x in line.split()[1:])
         return ()
 
-    def _run(self):
-        while not self._stop.wait(self._period):
-            self._samples.append(self._read())
-
     def __enter__(self):
+        # two endpoint reads bound the whole timed window — the summary
+        # is the interval diff, so no periodic sampling thread is needed
         self._samples.append(self._read())
-        self._t.start()
         return self
 
     def __exit__(self, *exc):
-        self._stop.set()
-        self._t.join(timeout=5)
         self._samples.append(self._read())
         return False
 
@@ -251,7 +244,10 @@ class _HostLoadSampler:
             return {}
         a, b = self._samples[0], self._samples[-1]
         d = [y - x for x, y in zip(a, b)]
-        tot = sum(d) or 1
+        # guest/guest_nice (fields 9-10) are already counted inside
+        # user/nice — summing them again would deflate every percentage
+        # on a host running nested VMs
+        tot = sum(d[:8]) or 1
         pct = lambda i: round(100.0 * d[i] / tot, 1)
         return {
             "user_pct": pct(0),

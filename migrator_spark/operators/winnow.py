@@ -70,6 +70,16 @@ def winnow_fingerprints(
     base-16-decoded — SQL-recomputable). Documents shorter than
     ``k + w - 1`` normalized chars have no full window and drop out
     (the paper's guarantee needs one full window)."""
+    return _selected_grams(df, id_col, text_col, k, w).distinct()
+
+
+def _selected_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Pre-distinct window-min selection (adjacent windows reselect the
+    same (pos, fp) — callers dedupe on the key set they need, so the
+    overlap path can run ONE distinct over (id, fp) instead of paying
+    an extra aggregate pass over (id, pos, fp) first)."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     norm = df.select(
@@ -123,7 +133,6 @@ def winnow_fingerprints(
             (F.lit(POS_BASE - 1) - F.col("_mk") % POS_BASE).alias("pos"),
             (F.col("_mk") / POS_BASE).cast("long").alias("fp"),
         )
-        .distinct()
     )
     return selected
 
@@ -146,7 +155,7 @@ def winnow_overlap_pairs(
     rule on the data, so the SQL oracle replicates it exactly (unlike a
     size-threshold fallback it never changes answers silently — a
     capped fingerprint is REMOVED for every document)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+    fps = _selected_grams(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("_id"), "fp"
     ).distinct()
     rare = (
