@@ -1,0 +1,105 @@
+"""Credential / secret scanning over source-code text columns.
+
+A CDC pipeline whose payload is source code (the north rule's table of
+``(repo, path, commit, lang, content)`` rows) feeds training-data and
+analytics consumers that must not ingest live credentials — the
+scrub-before-train step every large-scale code pipeline runs (the
+reference has no analogue; this belongs to the LLM-pipeline operator
+family alongside dedup/quality/language-ID). Everything here is
+JVM-side regex (``regexp_count`` / ``regexp_replace``) — zero Python
+in the hot path, so the scan rides whole-stage codegen and scales as a
+pure map (no shuffle, no skew surface; predicate/column pruning apply
+as usual).
+
+Pattern dialect: every pattern is written in the common subset of
+Java ``util.regex`` (Spark), RE2 (the DuckDB oracle) and Python ``re``
+(the independent test harness) — no lookaround, no backreferences, no
+``\\s``/``\\b`` classes whose definitions differ across engines
+(character classes are spelled out). Counting semantics are the
+standard left-to-right non-overlapping find loop in all three engines,
+so the DuckDB oracle (``len(regexp_extract_all(..))``) is exact, not
+approximate.
+
+The category set follows the well-known public scanner families
+(gitleaks/trufflehog-style anchored token prefixes plus entropy-proxy
+long-run rules):
+
+- ``aws_key``   — AWS access-key id (``AKIA`` + 16 uppercase base36)
+- ``ghp_token`` — GitHub fine-grained PAT (``ghp_`` + 36 base62)
+- ``slack_token`` — ``xox[baprs]-`` token
+- ``pem_header`` — ``-----BEGIN .. PRIVATE KEY-----`` block header
+- ``jwt``       — three dot-joined base64url segments starting ``eyJ``
+- ``pwd_assign`` — ``password/secret/api_key = "..."`` literals
+- ``hex_run``   — ≥40-char hex run (SHA-1-or-longer digests, raw keys)
+- ``b64_run``   — ≥40-char base64 run (high-entropy blobs)
+
+``hex_run``/``b64_run`` deliberately overlap (a hex run is also a
+base64 run): each category is counted independently against the
+ORIGINAL text, so the columns are individually meaningful and the
+oracle replicates them term by term. ``redact_secrets`` applies the
+patterns as a FIXED ordered chain of global replaces (order matters
+once a replacement rewrites the text — the oracle mirrors the same
+chain verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# name -> (pattern, human note). Dict order IS the redaction chain
+# order; counting is order-independent (original text per category).
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "ghp_token": r"ghp_[A-Za-z0-9]{36}",
+    "slack_token": r"xox[baprs]-[A-Za-z0-9-]{10,48}",
+    "pem_header": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "jwt": r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}",
+    # [ \t]* instead of \s*: Java/RE2/Python disagree on \s membership
+    "pwd_assign": r"(?i)(password|passwd|secret|api_key|apikey)[ \t]*[:=][ \t]*['\"][^'\"]{6,64}['\"]",
+    "hex_run": r"[0-9a-fA-F]{40,}",
+    "b64_run": r"[A-Za-z0-9+/]{40,}={0,2}",
+}
+
+REDACTION = "[SECRET]"
+
+
+def secret_count_cols(text_col: str) -> dict[str, Column]:
+    """Per-category non-overlapping match counts against ``text_col``
+    (each category scans the ORIGINAL text independently)."""
+    return {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"{name}_n")
+        for name, pat in SECRET_PATTERNS.items()
+    }
+
+
+def scan_secrets(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Append ``<category>_n`` count columns plus ``secret_flagged``
+    (any category hit). Pure projection — no shuffle; Catalyst prunes
+    unused categories if the caller selects a subset afterwards."""
+    cols = secret_count_cols(text_col)
+    out = df.select("*", *cols.values())
+    flag = None
+    for name in SECRET_PATTERNS:
+        c = F.col(f"{name}_n") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("secret_flagged", flag)
+
+
+def redact_col(text_col: str) -> Column:
+    """The redaction chain as one nested column expression: global
+    replace of each pattern with ``[SECRET]``, applied in
+    ``SECRET_PATTERNS`` order (each step sees the previous step's
+    output — replicated verbatim by the SQL oracle)."""
+    c = F.col(text_col)
+    for pat in SECRET_PATTERNS.values():
+        c = F.regexp_replace(c, pat, REDACTION)
+    return c
+
+
+def redact_secrets(
+    df: DataFrame, text_col: str = "content", out_col: str | None = None
+) -> DataFrame:
+    """Replace every detected secret with ``[SECRET]`` (training-data
+    scrub). ``out_col`` defaults to overwriting ``text_col``."""
+    return df.withColumn(out_col or text_col, redact_col(text_col))
