@@ -743,7 +743,18 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     → band → bucket-join, never all-pairs) verified by EXACT word-3gram
     Jaccard ≥ 0.8. At 32 bands × 2 rows the LSH miss probability for
     j ≥ 0.8 is ≤ 6e-15, so the output is hash-identical to the exact
-    all-pairs SQL oracle."""
+    all-pairs SQL oracle. tau filters the RAW ratio inside (like the
+    oracle's WHERE); filtering the rounded output would pass a
+    0.79995 boundary pair."""
+    return _neardup_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+SQL_MINHASH_LSH_DUPS = _sql_allpairs_jaccard(0.8)
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair graph (same pipeline/thresholds as
+    ``minhash_lsh_dups``), shared by the clustering queries."""
     from migrator_spark.operators.similarity import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -753,12 +764,75 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(
         d, id_col="doc_id", text_col="text", num_hashes=64, bands=32, ngram=3
     )
-    # tau filters the RAW ratio inside (like the oracle's WHERE);
-    # filtering the rounded output would pass a 0.79995 boundary pair
-    return ngram_jaccard_pairs(d, cand, n=3, tau=0.8).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs(d, cand, n=3, tau=0.8)
 
 
-SQL_MINHASH_LSH_DUPS = _sql_allpairs_jaccard(0.8)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the verified MinHash-LSH pair graph closed
+    into connected components (alternating large-star/small-star,
+    O(log² n) rounds — operators/graph.py), labelling every clustered
+    document with its component's minimum doc_id. This is the
+    transitive-closure step between pairwise similarity and an actual
+    dedup decision (A≈B, B≈C ⇒ one cluster of three). Oracle: exact
+    recursive-CTE reachability over the same all-pairs Jaccard graph."""
+    from migrator_spark.operators.graph import connected_components
+
+    pairs = _neardup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b", id_col="doc_id")
+    return cc.select("doc_id", "cluster_id").orderBy("doc_id")
+
+
+def _sql_cluster_cte(tau: float) -> str:
+    """Recursive transitive closure over the all-pairs Jaccard graph:
+    a node's cluster id is the minimum over everything it can reach."""
+    grams = GRAMS_CTE.replace("WITH g AS", "WITH RECURSIVE g AS", 1)
+    return grams + f""",
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= {tau}
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+reach(n, r) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
+),
+comp AS (
+  SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id FROM reach GROUP BY n
+)
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_cluster_cte(0.8) + """
+SELECT doc_id, cluster_id FROM comp ORDER BY doc_id
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: keep one representative (the minimum
+    doc_id) per near-dup cluster and every unclustered document —
+    i.e. drop exactly the non-representative cluster members. This is
+    the keep-list a training-data pipeline feeds downstream."""
+    from migrator_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b", id_col="doc_id")
+    losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_SURVIVORS = _sql_cluster_cte(0.8) + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+ORDER BY doc_id
+"""
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2024,6 +2098,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "embedding_topk": q_embedding_topk,
     "minhash_lsh_dups": q_minhash_lsh_dups,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
@@ -2073,6 +2149,8 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "simhash_dups": SQL_SIMHASH_DUPS,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "winnow_fingerprint_stats": SQL_WINNOW_FP_STATS,

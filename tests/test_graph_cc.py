@@ -1,0 +1,83 @@
+"""Connected components (operators/graph.py): alternating
+large-star/small-star vs an independent Python union-find, including
+the long-chain case that defeats naive min-label propagation."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.graph import connected_components
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _spark_labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        df = df.where(F.lit(False))
+    out = connected_components(df, **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(20260818)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+    ]
+    expect = _union_find_labels(edges)
+    got = _spark_labels(spark, edges)
+    assert got == expect
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    # a 200-node chain has diameter 199: min-label propagation would
+    # need 199 rounds; the star rounds must finish inside the rail.
+    edges = [(i, i + 1) for i in range(199)]
+    got = _spark_labels(spark, edges, max_iter=30)
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_cc_two_components_reversed_and_duplicate_edges(spark):
+    edges = [(5, 3), (3, 5), (3, 1), (1, 5), (10, 20), (20, 10), (10, 20)]
+    got = _spark_labels(spark, edges)
+    assert got == {1: 1, 3: 1, 5: 1, 10: 10, 20: 10}
+
+
+def test_cc_isolated_vertices_self_label(spark):
+    edges = [(1, 2)]
+    verts = spark.createDataFrame([(1,), (2,), (7,), (9,)], "id long")
+    got = _spark_labels(spark, edges, vertices=verts)
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_cc_empty_edges(spark):
+    got = _spark_labels(spark, [])
+    assert got == {}
+
+
+def test_cc_self_loops_ignored(spark):
+    edges = [(4, 4), (4, 6)]
+    got = _spark_labels(spark, edges)
+    assert got == {4: 4, 6: 4}
+
+
+def test_cc_nonconvergence_rail_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=0)
