@@ -1,0 +1,151 @@
+"""Event-time operators: as-of joins and sessionization.
+
+Two classics a CDC/event pipeline needs that Spark's DataFrame API
+lacks as built-ins, both expressed as single-shuffle declarative
+plans (no per-row Python, no join explosion):
+
+- **as-of join** (``asof_join``): attach to each fact row the most
+  recent dimension row for the same key with ``dim.ts <= fact.ts``
+  (kdb's ``aj``, DuckDB/Pandas ``ASOF JOIN``, Flink's temporal join).
+  A naive range join is O(facts × dims-per-key); instead both sides
+  are UNIONED, tagged, and sorted once per key — each fact picks up
+  the running ``last(dim, ignorenulls)`` over the
+  ``(ts, side, tiebreak)`` order.  ONE exchange keyed on the join
+  key, linear scan per key, works at any key cardinality; skewed
+  keys are bounded by per-key event counts, not by a join blow-up.
+- **sessionization** (``sessionize``): gaps-and-islands — a session
+  boundary is a per-key gap greater than ``gap_sec``; the session id
+  is the running count of boundaries.  Two window passes over the
+  SAME per-key sort (one exchange, AQE reuses the partitioning),
+  then a groupBy that map-side combines.
+
+The reference has no temporal operators (its streams are offset-,
+not event-time-ordered); these belong to the beyond-reference
+training-pipeline family.  Correctness oracles: DuckDB's NATIVE
+``ASOF LEFT JOIN`` (an independent implementation, not a port of
+this formulation) and a window-SQL gaps-and-islands fold
+(``queries.py::SQL_ASOF_JOIN_CLICKS`` / ``SQL_SESSIONIZE_EVENTS``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us_between(start, end):
+    """end − start in integer microseconds; works for TIMESTAMP and
+    TIMESTAMP_NTZ alike (``unix_micros`` rejects NTZ)."""
+    return F.timestamp_diff("microsecond", start, end)
+
+
+def asof_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    on: str,
+    ts: str,
+    dim_cols: list[str],
+    tolerance_sec: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``facts`` row, plus ``dim_cols`` from
+    the latest ``dims`` row with the same ``on`` key and
+    ``dims.ts <= facts.ts`` (ties inclusive — a dim stamped exactly
+    at the fact's time matches).  Facts with no earlier dim keep
+    NULLs.  ``tolerance_sec`` additionally voids matches older than
+    the given horizon (kdb ``wj``-style staleness bound).
+
+    Determinism: among dims sharing one ``(key, ts)`` the caller
+    should pre-dedup (any ``max_by`` rule); this function breaks any
+    remaining tie by the first dim column's value so repeated runs
+    agree."""
+    fact_cols = facts.columns
+    d = dims.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in dim_cols]).alias("_dim"),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(f"_f_{c}") for c in fact_cols],
+    )
+    f = facts.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(d.schema["_dim"].dataType).alias("_dim"),
+        *[F.col(c).alias(f"_f_{c}") for c in fact_cols],
+    )
+    # dim sorts BEFORE fact at an equal timestamp (inclusive match);
+    # _dim last in the order only disambiguates duplicate dim stamps.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_dim").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        d.unionByName(f)
+        .withColumn("_last_dim", F.last("_dim", ignorenulls=True).over(w))
+        .withColumn(
+            "_last_dim_ts",
+            F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_sec is not None:
+        fresh = (
+            _us_between(F.col("_last_dim_ts"), F.col("_ts"))
+            <= F.lit(int(round(tolerance_sec * 1_000_000)))
+        )
+        carried = carried.withColumn(
+            "_last_dim", F.when(fresh, F.col("_last_dim"))
+        )
+    return carried.select(
+        *[F.col(f"_f_{c}").alias(c) for c in fact_cols],
+        *[F.col("_last_dim")[c].alias(f"{prefix}{c}") for c in dim_cols],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_sec: float,
+    agg_value: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: per ``key``, order by
+    ``(ts, remaining columns)`` and cut a new session wherever the
+    gap to the previous event exceeds ``gap_sec`` (strictly greater —
+    an exactly-``gap_sec`` gap continues the session).
+
+    Returns one row per session: ``key, session_id`` (1-based per
+    key), ``session_start``, ``session_end``, ``n_events``,
+    ``duration_us`` and (when ``agg_value`` is given) ``sum_value``.
+
+    Gap tests and durations are computed in INTEGER MICROSECONDS
+    (``timestamp_diff``) — exact on every engine, so an oracle compare
+    never hinges on float rounding of epoch seconds."""
+    order = [F.col(ts).asc()] + [
+        F.col(c).asc() for c in events.columns if c not in (key, ts)
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_us = _us_between(F.lag(F.col(ts)).over(w), F.col(ts))
+    gap_budget_us = int(round(gap_sec * 1_000_000))
+    marked = events.withColumn(
+        "_new", F.when(gap_us.isNull() | (gap_us > gap_budget_us), 1).otherwise(0)
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _us_between(F.min(ts), F.max(ts)).alias("duration_us"),
+    ]
+    if agg_value is not None:
+        aggs.append(F.round(F.sum(agg_value), 2).alias("sum_value"))
+    return (
+        marked.groupBy(F.col(key), F.col("_sid").alias("session_id"))
+        .agg(*aggs)
+    )

@@ -1880,6 +1880,82 @@ SELECT doc_id, lang FROM ranked, mn WHERE rk <= m ORDER BY lang, doc_id
 """
 
 
+def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'error' event annotated with the same user's
+    most recent 'click' at-or-before it (event id + value; NULLs when
+    none). Single-shuffle union-window formulation
+    (operators/temporal.py) — never a per-key range join. Oracle:
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` (an independent
+    implementation)."""
+    from migrator_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", ts="ts",
+        dim_cols=["event_id", "value"], prefix="click_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_event_id"), F.col("click_value"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_JOIN_CLICKS = """
+SELECT e.event_id, e.user_id, e.ts,
+       c.event_id AS click_event_id, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): per-user sessions cut at
+    >30-minute gaps, with start/end, event count, exact
+    integer-microsecond duration and a rounded value sum. Gap tests
+    ride integer ``timestamp_diff`` so the session boundary never
+    hinges on float rounding of epoch seconds (operators/temporal.py)."""
+    from migrator_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return sessionize(
+        ev, key="user_id", ts="ts", gap_sec=1800.0, agg_value="value"
+    ).orderBy("user_id", "session_id")
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH m AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts, event_id, value FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id, value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM m
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
+       ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+"""
+
+
 def q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END engine run of ``update_mode="patch"`` (the
     reference's Mongo $set merge-patch, mongo.go:334-343): the envelope
@@ -2096,6 +2172,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "lang_profile": q_lang_profile,
     "stratified_sample": q_stratified_sample,
+    "asof_join_clicks": q_asof_join_clicks,
+    "sessionize_events": q_sessionize_events,
     "embedding_topk": q_embedding_topk,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "dedup_clusters": q_dedup_clusters,
@@ -2147,6 +2225,8 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "lang_profile": SQL_LANG_PROFILE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "asof_join_clicks": SQL_ASOF_JOIN_CLICKS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

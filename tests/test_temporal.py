@@ -1,0 +1,124 @@
+"""As-of join + sessionization (operators/temporal.py) vs
+independent Python folds."""
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.temporal import asof_join, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return EPOCH + dt.timedelta(seconds=sec)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _py_asof(facts, dims, tolerance=None):
+    """facts/dims: (key, sec, payload). Returns {fact_payload: dim_payload}."""
+    out = {}
+    for k, fs, fp in facts:
+        best = None
+        for dk, ds, dp in dims:
+            if dk == k and ds <= fs and (best is None or ds > best[0] or (ds == best[0] and dp > best[1])):
+                best = (ds, dp)
+        if best is not None and tolerance is not None and fs - best[0] > tolerance:
+            best = None
+        out[fp] = best[1] if best else None
+    return out
+
+
+def test_asof_matches_python_fold(spark):
+    rng = random.Random(7)
+    dims = [(rng.randrange(5), rng.randrange(1000), i) for i in range(80)]
+    facts = [(rng.randrange(6), rng.randrange(1000), 1000 + i) for i in range(60)]
+    fdf = _mk(spark, [(k, _ts(s), p) for k, s, p in facts], "k long, ts timestamp, fid long")
+    ddf = _mk(spark, [(k, _ts(s), p) for k, s, p in dims], "k long, ts timestamp, did long")
+    got = {
+        r["fid"]: r["asof_did"]
+        for r in asof_join(fdf, ddf, on="k", ts="ts", dim_cols=["did"]).collect()
+    }
+    assert got == _py_asof(facts, dims)
+
+
+def test_asof_tie_at_equal_timestamp_is_inclusive(spark):
+    fdf = _mk(spark, [(1, _ts(100), 10)], "k long, ts timestamp, fid long")
+    ddf = _mk(spark, [(1, _ts(100), 77)], "k long, ts timestamp, did long")
+    [r] = asof_join(fdf, ddf, on="k", ts="ts", dim_cols=["did"]).collect()
+    assert r["asof_did"] == 77
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    facts = [(1, 100, 10), (1, 500, 11)]
+    dims = [(1, 90, 7)]
+    fdf = _mk(spark, [(k, _ts(s), p) for k, s, p in facts], "k long, ts timestamp, fid long")
+    ddf = _mk(spark, [(k, _ts(s), p) for k, s, p in dims], "k long, ts timestamp, did long")
+    got = {
+        r["fid"]: r["asof_did"]
+        for r in asof_join(
+            fdf, ddf, on="k", ts="ts", dim_cols=["did"], tolerance_sec=60
+        ).collect()
+    }
+    assert got == {10: 7, 11: None}
+
+
+def test_asof_no_dim_for_key_yields_null(spark):
+    fdf = _mk(spark, [(9, _ts(10), 1)], "k long, ts timestamp, fid long")
+    ddf = _mk(spark, [(1, _ts(5), 2)], "k long, ts timestamp, did long")
+    [r] = asof_join(fdf, ddf, on="k", ts="ts", dim_cols=["did"]).collect()
+    assert r["asof_did"] is None
+
+
+def _py_sessions(events, gap):
+    """events: (key, sec). Returns {(key, sid): (n, duration_sec)}."""
+    out = {}
+    by_key = {}
+    for k, s in sorted(events):
+        by_key.setdefault(k, []).append(s)
+    for k, ss in by_key.items():
+        sid, start, prev, n = 0, None, None, 0
+        for s in ss:
+            if prev is None or s - prev > gap:
+                if prev is not None:
+                    out[(k, sid)] = (n, prev - start)
+                sid += 1
+                start, n = s, 0
+            n += 1
+            prev = s
+        out[(k, sid)] = (n, prev - start)
+    return out
+
+
+def test_sessionize_matches_python_fold(spark):
+    rng = random.Random(11)
+    events = [(rng.randrange(4), rng.randrange(100000)) for _ in range(300)]
+    events = list(set(events))
+    df = _mk(spark, [(k, _ts(s)) for k, s in events], "k long, ts timestamp")
+    got = {
+        (r["k"], r["session_id"]): (r["n_events"], r["duration_us"] // 1_000_000)
+        for r in sessionize(df, key="k", ts="ts", gap_sec=600.0).collect()
+    }
+    assert got == _py_sessions(events, 600)
+
+
+def test_sessionize_exact_gap_continues_session(spark):
+    df = _mk(spark, [(1, _ts(0)), (1, _ts(600)), (1, _ts(1200.000001))], "k long, ts timestamp")
+    rows = sessionize(df, key="k", ts="ts", gap_sec=600.0).collect()
+    # 0→600 continues (gap == budget), 600→1200.000001 cuts (1 µs over)
+    assert sorted((r["session_id"], r["n_events"]) for r in rows) == [(1, 2), (2, 1)]
+
+
+def test_sessionize_sum_value(spark):
+    df = _mk(
+        spark,
+        [(1, _ts(0), 1.5), (1, _ts(10), 2.25), (1, _ts(5000), 4.0)],
+        "k long, ts timestamp, value double",
+    )
+    rows = sessionize(df, key="k", ts="ts", gap_sec=600.0, agg_value="value").collect()
+    got = {r["session_id"]: (r["n_events"], r["sum_value"]) for r in rows}
+    assert got == {1: (2, 3.75), 2: (1, 4.0)}
