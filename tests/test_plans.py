@@ -89,3 +89,34 @@ def test_merge_winner_join_is_broadcast(spark, tmp_path):
     plan = _plan(winners)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes and the session groupBy ride ONE shuffle on
+    the session key (AQE reuses the window sort's partitioning); a
+    second Exchange would mean the groupBy re-partitioned."""
+    from migrator_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = sessionize(ev, key="user_id", ts="ts", gap_sec=1800.0, agg_value="value")
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_single_exchange_no_join_node(spark):
+    """The union-window as-of join shuffles ONCE on the join key and
+    contains NO join operator at all — the 'join' is a running
+    last-non-null over the per-key sort, so there is no range-join
+    blow-up to mis-plan."""
+    from migrator_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    errors = ev.filter(ev.event_type == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(ev.event_type == "click").select("user_id", "ts", "event_id", "value")
+    out = asof_join(errors, clicks, on="user_id", ts="ts", dim_cols=["event_id", "value"])
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
