@@ -23,7 +23,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1880,6 +1880,104 @@ SELECT doc_id, lang FROM ranked, mn WHERE rk <= m ORDER BY lang, doc_id
 """
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    'repetitious text' filters, re-specified exactly): per document,
+    the character fraction covered by the most frequent word BIGRAM
+    (ties → lexicographically smallest) and the character fraction in
+    word 5-GRAMS occurring at least twice, over the normalized
+    (single-space-joined) token stream; ``flagged`` marks documents
+    over either threshold (0.08 / 0.20, compared on the RAW ratios).
+    All ratios are exact integer-count divisions, so both engines
+    compute bit-identical doubles. Entirely JVM built-ins: tokenize →
+    explode n-grams → count → argmax window / conditional sum — every
+    stage keyed on doc_id (or doc_id+gram), map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.filter(
+        F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+"), lambda x: x != ""
+    )
+
+    def raw_ngrams(n):
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = d.select("doc_id", tok.alias("toks")).withColumn(
+        "norm_len", F.length(F.array_join("toks", " "))
+    )
+    bgc = (
+        base.select("doc_id", "norm_len", F.explode(raw_ngrams(2)).alias("g"))
+        .groupBy("doc_id", "norm_len", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    top = bgc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dup = (
+        base.select("doc_id", F.explode(raw_ngrams(5)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("g")).alias("s"))
+    )
+    raw_top = (F.col("c") * F.length("g")) / F.col("norm_len")
+    raw_dup = F.coalesce(F.col("s"), F.lit(0)) / F.col("norm_len")
+    return (
+        top.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("g").alias("top_bigram"),
+            F.round(raw_top, 4).alias("top_bigram_frac"),
+            F.round(raw_dup, 4).alias("dup_5gram_frac"),
+            ((raw_top > 0.08) | (raw_dup > 0.2)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_REPETITION_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS norm_len, toks FROM t),
+bgc AS (
+  SELECT doc_id, norm_len, g, count(*) AS c
+  FROM (SELECT doc_id, norm_len,
+               unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS g
+        FROM base)
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id, norm_len, g, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM bgc
+),
+dup AS (
+  SELECT doc_id, SUM(c * length(g)) AS s
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS g
+              FROM base)
+        GROUP BY 1, 2)
+  WHERE c >= 2 GROUP BY doc_id
+)
+SELECT t.doc_id, t.g AS top_bigram,
+       ROUND((t.c * length(t.g)) / t.norm_len, 4) AS top_bigram_frac,
+       ROUND(COALESCE(d.s, 0) / t.norm_len, 4) AS dup_5gram_frac,
+       ((t.c * length(t.g)) / t.norm_len > 0.08
+        OR COALESCE(d.s, 0) / t.norm_len > 0.2) AS flagged
+FROM top t LEFT JOIN dup d USING (doc_id)
+WHERE t.rn = 1
+ORDER BY t.doc_id
+"""
+
+
 def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every 'error' event annotated with the same user's
     most recent 'click' at-or-before it (event id + value; NULLs when
@@ -2174,6 +2272,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "asof_join_clicks": q_asof_join_clicks,
     "sessionize_events": q_sessionize_events,
+    "doc_repetition_stats": q_doc_repetition_stats,
     "embedding_topk": q_embedding_topk,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "dedup_clusters": q_dedup_clusters,
@@ -2227,6 +2326,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "asof_join_clicks": SQL_ASOF_JOIN_CLICKS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -1,0 +1,74 @@
+"""Gopher-style repetition metrics (q_doc_repetition_stats) vs an
+independent Python fold, on synthesized docs where the duplicated-
+5-gram fraction is actually non-zero (the sf0.01 word-salad corpus
+never repeats a 5-gram, so the oracle gate alone exercises only the
+zero branch)."""
+
+from collections import Counter
+
+import duckdb
+
+from migrator_spark.queries import SQL_DOC_REPETITION_STATS, q_doc_repetition_stats
+
+DOCS = [
+    (0, "spam spam spam spam spam spam ham"),           # one dominant bigram + dup 5-grams
+    (1, "a b c d e a b c d e a b c d e"),               # repeated 5-gram phrase
+    (2, " ".join(f"word{i}" for i in range(60))),       # long, fully distinct → unflagged
+    (3, "x y " * 12),                                    # pure 2-token loop
+    (4, "one two three four five six seven"),
+]
+
+
+def _py_stats(text):
+    toks = [t for t in text.lower().split() if t]
+    norm_len = len(" ".join(toks))
+    bigrams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    cnt = Counter(bigrams)
+    top_c = max(cnt.values())
+    top_g = min(g for g, c in cnt.items() if c == top_c)
+    five = Counter(" ".join(toks[i : i + 5]) for i in range(len(toks) - 4))
+    dup = sum(c * len(g) for g, c in five.items() if c >= 2)
+    return (
+        top_g,
+        round(top_c * len(top_g) / norm_len, 4),
+        round(dup / norm_len, 4),
+        top_c * len(top_g) / norm_len > 0.08 or dup / norm_len > 0.2,
+    )
+
+
+def _run(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    d.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_repetition_matches_python_fold(spark, tmp_path):
+    sf = _run(spark, tmp_path)
+    rows = {
+        r["doc_id"]: (
+            r["top_bigram"], r["top_bigram_frac"], r["dup_5gram_frac"], r["flagged"]
+        )
+        for r in q_doc_repetition_stats(spark, sf).collect()
+    }
+    for i, t in DOCS:
+        assert rows[i] == _py_stats(t), f"doc {i}"
+    # the synthesized corpus exercises BOTH branches
+    assert any(v[2] > 0 for v in rows.values())
+    assert any(v[3] for v in rows.values()) and not all(v[3] for v in rows.values())
+
+
+def test_repetition_oracle_parity_on_repetitive_docs(spark, tmp_path):
+    """The DuckDB oracle agrees on docs with non-zero dup fractions,
+    not just on the never-repeating sf0.01 corpus."""
+    sf = _run(spark, tmp_path)
+    got = [tuple(r) for r in q_doc_repetition_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(SQL_DOC_REPETITION_STATS).fetchall()
+    assert got == want
