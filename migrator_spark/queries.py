@@ -1978,6 +1978,69 @@ ORDER BY t.doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM rule,
+    re-specified exactly): flag corpus documents sharing any distinct
+    word-4-gram with a held-out eval set — here the deterministic
+    stand-in ``doc_id % 50 == 0``. The eval side collapses to ONE
+    distinct gram set and is BROADCAST (eval benchmarks are tiny next
+    to a 100-TB corpus), so the corpus side never shuffles for the
+    probe: explode its per-doc distinct grams once, hash-join against
+    the broadcast set, count matches per doc. Emits only contaminated
+    docs with the matched/total gram counts and fraction."""
+    from migrator_spark.operators.similarity import _ngram_col
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", _ngram_col("text", 4).alias("gs")).filter(
+        F.size("gs") > 0
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    cg = grams.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.size("gs").cast("long").alias("total_grams"),
+        F.explode("gs").alias("g"),
+    )
+    return (
+        cg.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "total_grams")
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
+        .select(
+            "doc_id",
+            "matched_grams",
+            "total_grams",
+            F.round(F.col("matched_grams") / F.col("total_grams"), 4).alias(
+                "contamination_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) AS gs
+  FROM t WHERE len(toks) >= 4
+),
+ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+cg AS (SELECT doc_id, len(gs) AS total_grams, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0)
+SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS matched_grams, cg.total_grams,
+       ROUND(count(*) / cg.total_grams, 4) AS contamination_frac
+FROM cg JOIN ev USING (g)
+GROUP BY cg.doc_id, cg.total_grams
+ORDER BY cg.doc_id
+"""
+
+
 def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every 'error' event annotated with the same user's
     most recent 'click' at-or-before it (event id + value; NULLs when
@@ -2273,6 +2336,7 @@ QUERIES = {
     "asof_join_clicks": q_asof_join_clicks,
     "sessionize_events": q_sessionize_events,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "decontaminate": q_decontaminate,
     "embedding_topk": q_embedding_topk,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "dedup_clusters": q_dedup_clusters,
@@ -2327,6 +2391,7 @@ ORACLES = {
     "asof_join_clicks": SQL_ASOF_JOIN_CLICKS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "doc_repetition_stats": SQL_DOC_REPETITION_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

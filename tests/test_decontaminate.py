@@ -1,0 +1,73 @@
+"""Benchmark decontamination (q_decontaminate) vs a Python fold on a
+synthesized corpus with a known eval/corpus 4-gram overlap, plus the
+broadcast-plan guarantee (the corpus must never shuffle for the eval
+probe)."""
+
+from migrator_spark.queries import q_decontaminate
+
+DOCS = [
+    # eval docs (doc_id % 50 == 0)
+    (0, "alpha beta gamma delta epsilon zeta"),
+    (50, "one two three four five"),
+    # corpus: doc 1 shares 'alpha beta gamma delta' (and 2 more 4-grams)
+    (1, "x alpha beta gamma delta epsilon y"),
+    # doc 2 shares exactly one 4-gram with doc 50
+    (2, "zz one two three four aa bb cc"),
+    # doc 3 shares nothing
+    (3, "p q r s t u v w"),
+    # doc 4 repeats a shared 4-gram twice — distinct grams count once
+    (4, "one two three four one two three four"),
+]
+
+
+def _py_grams(text, n=4):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_expected():
+    ev = set()
+    for i, t in DOCS:
+        if i % 50 == 0:
+            ev |= _py_grams(t)
+    out = {}
+    for i, t in DOCS:
+        if i % 50 == 0:
+            continue
+        gs = _py_grams(t)
+        m = len(gs & ev)
+        if m:
+            out[i] = (m, len(gs), round(m / len(gs), 4))
+    return out
+
+
+def _write(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    d.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_decontaminate_matches_python_fold(spark, tmp_path):
+    sf = _write(spark, tmp_path)
+    got = {
+        r["doc_id"]: (r["matched_grams"], r["total_grams"], r["contamination_frac"])
+        for r in q_decontaminate(spark, sf).collect()
+    }
+    assert got == _py_expected()
+    assert 3 not in got  # clean doc emits nothing
+
+
+def test_decontaminate_broadcasts_eval_side(spark, tmp_path):
+    sf = _write(spark, tmp_path)
+    plan = (
+        q_decontaminate(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
