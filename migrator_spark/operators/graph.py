@@ -107,17 +107,19 @@ def connected_components(
         .distinct()
     )
     prev = e.localCheckpoint(eager=True)
-    converged = prev.isEmpty()
+    prev_n = prev.count()
+    converged = prev_n == 0
     for _ in range(max_iter):
         if converged:
             break
         nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-        # Star-fixpoint test: both passes emit only (node, smaller) edges,
-        # so set equality of the two materialized frames is exact.
-        converged = (
-            nxt.exceptAll(prev).isEmpty() and prev.exceptAll(nxt).isEmpty()
-        )
-        prev = nxt
+        # Star-fixpoint test: both frames are DISTINCT sets, so
+        # nxt ⊆ prev (one exceptAll) plus equal cardinality (counts
+        # are cheap on checkpointed frames) proves set equality —
+        # half the shuffle cost of a two-sided except.
+        nxt_n = nxt.count()
+        converged = nxt_n == prev_n and nxt.exceptAll(prev).isEmpty()
+        prev, prev_n = nxt, nxt_n
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -133,7 +135,14 @@ def connected_components(
         F.col("u").alias(id_col), "cluster_id"
     )
     if vertices is not None:
-        vs = vertices.select(F.col(id_col)).distinct()
+        # NULL ids mirror the edge-side guard: a NULL vertex would
+        # survive the left_anti (NULL never equi-matches) and emit a
+        # spurious (NULL, NULL) label row.
+        vs = (
+            vertices.select(F.col(id_col))
+            .where(F.col(id_col).isNotNull())
+            .distinct()
+        )
         isolated = vs.join(out, id_col, "left_anti").select(
             F.col(id_col), F.col(id_col).alias("cluster_id")
         )

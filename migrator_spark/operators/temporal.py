@@ -58,9 +58,19 @@ def asof_join(
     Determinism: among dims sharing one ``(key, ts)`` the caller
     should pre-dedup (any ``max_by`` rule); this function breaks any
     remaining tie by the first dim column's value so repeated runs
-    agree."""
+    agree.
+
+    NULL semantics follow the SQL ASOF equi-join exactly: a dim row
+    with a NULL key or NULL timestamp can never satisfy
+    ``dim.key = fact.key AND dim.ts <= fact.ts`` and is dropped up
+    front (NULLs sort FIRST in Spark's ascending window order, so an
+    unfiltered null-ts dim would otherwise be carried to every fact
+    as an infinitely-old match); a fact with a NULL key is still
+    emitted — with NULL dim columns, like any unmatched LEFT row."""
     fact_cols = facts.columns
-    d = dims.select(
+    d = dims.where(
+        F.col(on).isNotNull() & F.col(ts).isNotNull()
+    ).select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -111,22 +121,26 @@ def sessionize(
     gap_sec: float,
     agg_value: str | None = None,
 ) -> DataFrame:
-    """Gaps-and-islands sessionization: per ``key``, order by
-    ``(ts, remaining columns)`` and cut a new session wherever the
-    gap to the previous event exceeds ``gap_sec`` (strictly greater —
-    an exactly-``gap_sec`` gap continues the session).
+    """Gaps-and-islands sessionization: per ``key``, order by ``ts``
+    and cut a new session wherever the gap to the previous event
+    exceeds ``gap_sec`` (strictly greater — an exactly-``gap_sec``
+    gap continues the session).  Every emitted metric is invariant to
+    the tie order among equal-timestamp events (ties have gap 0 and
+    never cut), so the window orders by ``ts`` alone — no extra sort
+    keys, and unorderable payload columns (maps) are fine.  Events
+    with a NULL key or NULL timestamp cannot be placed on a per-key
+    event-time axis and are excluded.
 
     Returns one row per session: ``key, session_id`` (1-based per
     key), ``session_start``, ``session_end``, ``n_events``,
-    ``duration_us`` and (when ``agg_value`` is given) ``sum_value``.
+    ``duration_us`` and (when ``agg_value`` is given) the RAW
+    ``sum_value`` — display rounding is the caller's concern.
 
     Gap tests and durations are computed in INTEGER MICROSECONDS
     (``timestamp_diff``) — exact on every engine, so an oracle compare
     never hinges on float rounding of epoch seconds."""
-    order = [F.col(ts).asc()] + [
-        F.col(c).asc() for c in events.columns if c not in (key, ts)
-    ]
-    w = Window.partitionBy(key).orderBy(*order)
+    events = events.where(F.col(key).isNotNull() & F.col(ts).isNotNull())
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
     gap_us = _us_between(F.lag(F.col(ts)).over(w), F.col(ts))
     gap_budget_us = int(round(gap_sec * 1_000_000))
     marked = events.withColumn(
@@ -144,7 +158,7 @@ def sessionize(
         _us_between(F.min(ts), F.max(ts)).alias("duration_us"),
     ]
     if agg_value is not None:
-        aggs.append(F.round(F.sum(agg_value), 2).alias("sum_value"))
+        aggs.append(F.sum(agg_value).alias("sum_value"))
     return (
         marked.groupBy(F.col(key), F.col("_sid").alias("session_id"))
         .agg(*aggs)

@@ -2086,9 +2086,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from migrator_spark.operators.temporal import sessionize
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    return sessionize(
-        ev, key="user_id", ts="ts", gap_sec=1800.0, agg_value="value"
-    ).orderBy("user_id", "session_id")
+    return (
+        sessionize(ev, key="user_id", ts="ts", gap_sec=1800.0, agg_value="value")
+        .withColumn("sum_value", F.round("sum_value", 2))
+        .orderBy("user_id", "session_id")
+    )
 
 
 SQL_SESSIONIZE_EVENTS = """
@@ -2097,7 +2099,8 @@ WITH m AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
               THEN 1 ELSE 0 END AS new_s
-  FROM (SELECT user_id, ts, event_id, value FROM events)
+  FROM (SELECT user_id, ts, event_id, value FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value)
 ),
 s AS (

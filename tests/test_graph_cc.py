@@ -81,3 +81,10 @@ def test_cc_nonconvergence_rail_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=0)
+
+
+def test_cc_null_vertex_ids_are_dropped(spark):
+    edges = [(1, 2)]
+    verts = spark.createDataFrame([(1,), (None,), (9,)], "id long")
+    got = _spark_labels(spark, edges, vertices=verts)
+    assert got == {1: 1, 2: 1, 9: 9}

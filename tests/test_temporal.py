@@ -122,3 +122,42 @@ def test_sessionize_sum_value(spark):
     rows = sessionize(df, key="k", ts="ts", gap_sec=600.0, agg_value="value").collect()
     got = {r["session_id"]: (r["n_events"], r["sum_value"]) for r in rows}
     assert got == {1: (2, 3.75), 2: (1, 4.0)}
+
+
+def test_asof_null_ts_dim_never_matches(spark):
+    # a NULL-ts dim is not an infinitely-old match (SQL: dim.ts <= fact.ts
+    # is unsatisfiable for NULL) — the later real dim still wins when present
+    fdf = _mk(spark, [(1, _ts(100), 10)], "k long, ts timestamp, fid long")
+    ddf = spark.createDataFrame(
+        [(1, None, 77), (1, _ts(50), 88)], "k long, ts timestamp, did long"
+    )
+    [r] = asof_join(fdf, ddf, on="k", ts="ts", dim_cols=["did"]).collect()
+    assert r["asof_did"] == 88
+    ddf2 = spark.createDataFrame([(1, None, 77)], "k long, ts timestamp, did long")
+    [r2] = asof_join(fdf, ddf2, on="k", ts="ts", dim_cols=["did"]).collect()
+    assert r2["asof_did"] is None
+
+
+def test_asof_null_key_never_matches_but_fact_is_kept(spark):
+    fdf = spark.createDataFrame([(None, _ts(100), 10)], "k long, ts timestamp, fid long")
+    ddf = spark.createDataFrame([(None, _ts(50), 5)], "k long, ts timestamp, did long")
+    [r] = asof_join(fdf, ddf, on="k", ts="ts", dim_cols=["did"]).collect()
+    assert r["fid"] == 10 and r["asof_did"] is None
+
+
+def test_sessionize_drops_null_key_or_ts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, _ts(5)), (1, _ts(10)), (1, _ts(20))],
+        "k long, ts timestamp",
+    )
+    rows = sessionize(df, key="k", ts="ts", gap_sec=600.0).collect()
+    assert [(r["k"], r["session_id"], r["n_events"]) for r in rows] == [(1, 1, 2)]
+
+
+def test_sessionize_tolerates_unorderable_payload_columns(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), {"a": 1}), (1, _ts(10), {"b": 2})],
+        "k long, ts timestamp, props map<string,int>",
+    )
+    rows = sessionize(df, key="k", ts="ts", gap_sec=600.0).collect()
+    assert [(r["session_id"], r["n_events"]) for r in rows] == [(1, 2)]
