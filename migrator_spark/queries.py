@@ -727,14 +727,21 @@ WITH g AS (
 )
 """
 
+# The raw Jaccard ratio between two docs' gram sets — ONE definition
+# shared by the pairs oracle and the cluster oracle so the two can
+# never gate against different pair graphs.
+_SQL_JACCARD_RAW = (
+    "CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /"
+    " (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))"
+)
+
+
 def _sql_allpairs_jaccard(tau: float) -> str:
     return GRAMS_CTE + f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-             (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) AS jaccard
+       ROUND({_SQL_JACCARD_RAW}, 4) AS jaccard
 FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= {tau}
+WHERE {_SQL_JACCARD_RAW} >= {tau}
 """
 
 
@@ -790,8 +797,7 @@ def _sql_cluster_cte(tau: float) -> str:
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM g a JOIN g b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= {tau}
+  WHERE {_SQL_JACCARD_RAW} >= {tau}
 ),
 e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
 reach(n, r) AS (
@@ -829,9 +835,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_SURVIVORS = _sql_cluster_cte(0.8) + """
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
-ORDER BY doc_id
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c
+  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
+)
+ORDER BY d.doc_id
 """
 
 
@@ -1882,16 +1891,21 @@ SELECT doc_id, lang FROM ranked, mn WHERE rk <= m ORDER BY lang, doc_id
 
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
-    'repetitious text' filters, re-specified exactly): per document,
-    the character fraction covered by the most frequent word BIGRAM
-    (ties → lexicographically smallest) and the character fraction in
-    word 5-GRAMS occurring at least twice, over the normalized
-    (single-space-joined) token stream; ``flagged`` marks documents
-    over either threshold (0.08 / 0.20, compared on the RAW ratios).
-    All ratios are exact integer-count divisions, so both engines
-    compute bit-identical doubles. Entirely JVM built-ins: tokenize →
-    explode n-grams → count → argmax window / conditional sum — every
-    stage keyed on doc_id (or doc_id+gram), map-side combinable."""
+    'repetitious text' filters, re-specified exactly as bounded
+    OCCURRENCE fractions): per document, the fraction of bigram
+    POSITIONS taken by the most frequent word bigram (ties →
+    lexicographically smallest; in (0, 1] by construction) and the
+    fraction of 5-gram positions occupied by 5-grams occurring at
+    least twice (in [0, 1]). ``flagged`` requires ≥10 tokens (the
+    Gopher filters pair every n-gram rule with a word-count gate —
+    a short clean doc must not flag) AND either RAW fraction over its
+    threshold (0.06 / 0.20). EVERY document gets a row: too few
+    tokens for a metric → NULL metric, flagged false — a downstream
+    keep/drop join never sees a missing doc. All ratios are exact
+    integer-count divisions, so both engines compute bit-identical
+    doubles. Entirely JVM built-ins: tokenize → explode n-grams →
+    count → argmax window / conditional sum — every stage keyed on
+    doc_id (or doc_id+gram), map-side combinable."""
     d = _t(spark, sf_dir, "documents")
     tok = F.filter(
         F.split(F.lower(F.col("text")), r"[ \t\n\x0b\f\r]+"), lambda x: x != ""
@@ -1906,34 +1920,43 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    base = d.select("doc_id", tok.alias("toks")).withColumn(
-        "norm_len", F.length(F.array_join("toks", " "))
-    )
+    base = d.select("doc_id", tok.alias("toks")).withColumn("nt", F.size("toks"))
     bgc = (
-        base.select("doc_id", "norm_len", F.explode(raw_ngrams(2)).alias("g"))
-        .groupBy("doc_id", "norm_len", "g")
+        base.select("doc_id", F.explode(raw_ngrams(2)).alias("g"))
+        .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
-    top = bgc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    top = (
+        bgc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("g").alias("top_bigram"), F.col("c").alias("topc"))
+    )
     dup = (
         base.select("doc_id", F.explode(raw_ngrams(5)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.length("g")).alias("s"))
+        .agg(F.sum("c").alias("s"))
     )
-    raw_top = (F.col("c") * F.length("g")) / F.col("norm_len")
-    raw_dup = F.coalesce(F.col("s"), F.lit(0)) / F.col("norm_len")
+    raw_top = F.when(F.col("nt") >= 2, F.col("topc") / (F.col("nt") - 1))
+    raw_dup = F.when(
+        F.col("nt") >= 5, F.coalesce(F.col("s"), F.lit(0)) / (F.col("nt") - 4)
+    )
+    flagged = (F.col("nt") >= 10) & (
+        F.coalesce(raw_top > 0.06, F.lit(False))
+        | F.coalesce(raw_dup > 0.2, F.lit(False))
+    )
     return (
-        top.join(dup, "doc_id", "left")
+        base.join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("g").alias("top_bigram"),
+            "top_bigram",
             F.round(raw_top, 4).alias("top_bigram_frac"),
             F.round(raw_dup, 4).alias("dup_5gram_frac"),
-            ((raw_top > 0.08) | (raw_dup > 0.2)).alias("flagged"),
+            flagged.alias("flagged"),
         )
         .orderBy("doc_id")
     )
@@ -1945,21 +1968,23 @@ WITH t AS (
          list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
   FROM documents
 ),
-base AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS norm_len, toks FROM t),
+base AS (SELECT doc_id, len(toks) AS nt, toks FROM t),
 bgc AS (
-  SELECT doc_id, norm_len, g, count(*) AS c
-  FROM (SELECT doc_id, norm_len,
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
                unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS g
         FROM base)
-  GROUP BY 1, 2, 3
+  GROUP BY 1, 2
 ),
 top AS (
-  SELECT doc_id, norm_len, g, c,
-         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
-  FROM bgc
+  SELECT doc_id, g AS top_bigram, c AS topc
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM bgc)
+  WHERE rn = 1
 ),
 dup AS (
-  SELECT doc_id, SUM(c * length(g)) AS s
+  SELECT doc_id, SUM(c) AS s
   FROM (SELECT doc_id, g, count(*) AS c
         FROM (SELECT doc_id,
                      unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS g
@@ -1967,14 +1992,15 @@ dup AS (
         GROUP BY 1, 2)
   WHERE c >= 2 GROUP BY doc_id
 )
-SELECT t.doc_id, t.g AS top_bigram,
-       ROUND((t.c * length(t.g)) / t.norm_len, 4) AS top_bigram_frac,
-       ROUND(COALESCE(d.s, 0) / t.norm_len, 4) AS dup_5gram_frac,
-       ((t.c * length(t.g)) / t.norm_len > 0.08
-        OR COALESCE(d.s, 0) / t.norm_len > 0.2) AS flagged
-FROM top t LEFT JOIN dup d USING (doc_id)
-WHERE t.rn = 1
-ORDER BY t.doc_id
+SELECT b.doc_id, t.top_bigram,
+       ROUND(CASE WHEN b.nt >= 2 THEN t.topc / (b.nt - 1) END, 4) AS top_bigram_frac,
+       ROUND(CASE WHEN b.nt >= 5 THEN COALESCE(d.s, 0) / (b.nt - 4) END, 4) AS dup_5gram_frac,
+       (b.nt >= 10 AND (
+          COALESCE(CASE WHEN b.nt >= 2 THEN t.topc / (b.nt - 1) END > 0.06, FALSE)
+          OR COALESCE(CASE WHEN b.nt >= 5 THEN COALESCE(d.s, 0) / (b.nt - 4) END > 0.2, FALSE)
+       )) AS flagged
+FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)
+ORDER BY b.doc_id
 """
 
 

@@ -9,7 +9,7 @@ DOCS = [
     # eval docs (doc_id % 50 == 0)
     (0, "alpha beta gamma delta epsilon zeta"),
     (50, "one two three four five"),
-    # corpus: doc 1 shares 'alpha beta gamma delta' (and 2 more 4-grams)
+    # corpus: doc 1 shares 'alpha beta gamma delta' + 'beta gamma delta epsilon'
     (1, "x alpha beta gamma delta epsilon y"),
     # doc 2 shares exactly one 4-gram with doc 50
     (2, "zz one two three four aa bb cc"),

@@ -21,6 +21,8 @@ def _union_find_labels(edges):
         return x
 
     for a, b in edges:
+        if a == b:
+            continue  # the operator drops self-loops and emits no row
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

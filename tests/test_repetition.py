@@ -2,7 +2,9 @@
 independent Python fold, on synthesized docs where the duplicated-
 5-gram fraction is actually non-zero (the sf0.01 word-salad corpus
 never repeats a 5-gram, so the oracle gate alone exercises only the
-zero branch)."""
+zero branch). Covers the min-token flag gate and the every-doc-gets-
+a-row contract (single-token and empty docs emit NULL metrics,
+flagged false)."""
 
 from collections import Counter
 
@@ -11,29 +13,38 @@ import duckdb
 from migrator_spark.queries import SQL_DOC_REPETITION_STATS, q_doc_repetition_stats
 
 DOCS = [
-    (0, "spam spam spam spam spam spam ham"),           # one dominant bigram + dup 5-grams
-    (1, "a b c d e a b c d e a b c d e"),               # repeated 5-gram phrase
-    (2, " ".join(f"word{i}" for i in range(60))),       # long, fully distinct → unflagged
-    (3, "x y " * 12),                                    # pure 2-token loop
-    (4, "one two three four five six seven"),
+    (0, "spam spam spam spam spam spam ham"),     # dominant bigram but only 7 tokens → gate holds it unflagged
+    (1, "a b c d e a b c d e a b c d e"),         # 15 tokens, repeated phrase → flagged
+    (2, " ".join(f"word{i}" for i in range(60))),  # long, fully distinct → unflagged
+    (3, "x y " * 12),                              # 24-token pure loop → flagged, dup frac 1.0
+    (4, "one two three four one two three four"),  # 8 tokens → gate holds it unflagged
+    (5, "solo"),                                   # 1 token → NULL metrics, flagged false
+    (6, ""),                                       # empty → NULL metrics, flagged false
 ]
 
 
 def _py_stats(text):
     toks = [t for t in text.lower().split() if t]
-    norm_len = len(" ".join(toks))
-    bigrams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
-    cnt = Counter(bigrams)
-    top_c = max(cnt.values())
-    top_g = min(g for g, c in cnt.items() if c == top_c)
-    five = Counter(" ".join(toks[i : i + 5]) for i in range(len(toks) - 4))
-    dup = sum(c * len(g) for g, c in five.items() if c >= 2)
-    return (
-        top_g,
-        round(top_c * len(top_g) / norm_len, 4),
-        round(dup / norm_len, 4),
-        top_c * len(top_g) / norm_len > 0.08 or dup / norm_len > 0.2,
+    nt = len(toks)
+    if nt >= 2:
+        cnt = Counter(" ".join(toks[i : i + 2]) for i in range(nt - 1))
+        top_c = max(cnt.values())
+        top_g = min(g for g, c in cnt.items() if c == top_c)
+        tf_raw = top_c / (nt - 1)
+        tf = round(tf_raw, 4)
+    else:
+        top_g, tf_raw, tf = None, None, None
+    if nt >= 5:
+        five = Counter(" ".join(toks[i : i + 5]) for i in range(nt - 4))
+        df_raw = sum(c for c in five.values() if c >= 2) / (nt - 4)
+        df = round(df_raw, 4)
+    else:
+        df_raw, df = None, None
+    flagged = nt >= 10 and (
+        (tf_raw is not None and tf_raw > 0.06)
+        or (df_raw is not None and df_raw > 0.2)
     )
+    return (top_g, tf, df, flagged)
 
 
 def _run(spark, tmp_path):
@@ -54,11 +65,15 @@ def test_repetition_matches_python_fold(spark, tmp_path):
         )
         for r in q_doc_repetition_stats(spark, sf).collect()
     }
+    assert set(rows) == {i for i, _ in DOCS}  # every doc gets a row
     for i, t in DOCS:
         assert rows[i] == _py_stats(t), f"doc {i}"
-    # the synthesized corpus exercises BOTH branches
-    assert any(v[2] > 0 for v in rows.values())
-    assert any(v[3] for v in rows.values()) and not all(v[3] for v in rows.values())
+    # fractions are bounded and both flag branches fire
+    assert all(v[1] is None or 0 < v[1] <= 1 for v in rows.values())
+    assert all(v[2] is None or 0 <= v[2] <= 1 for v in rows.values())
+    assert rows[3][2] == 1.0
+    assert {i for i, v in rows.items() if v[3]} == {1, 3}
+    assert not rows[0][3]  # dominant bigram, but under the 10-token gate
 
 
 def test_repetition_oracle_parity_on_repetitive_docs(spark, tmp_path):
