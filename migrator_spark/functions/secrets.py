@@ -66,9 +66,13 @@ REDACTION = "[SECRET]"
 
 def secret_count_cols(text_col: str) -> dict[str, Column]:
     """Per-category non-overlapping match counts against ``text_col``
-    (each category scans the ORIGINAL text independently)."""
+    (each category scans the ORIGINAL text independently).  A NULL
+    text counts 0 — "no text" means "no secrets", so downstream sums
+    and boolean filters never silently drop null-content rows."""
     return {
-        name: F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"{name}_n")
+        name: F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        ).alias(f"{name}_n")
         for name, pat in SECRET_PATTERNS.items()
     }
 

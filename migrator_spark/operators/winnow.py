@@ -52,9 +52,15 @@ def _norm_col(text_col: str):
     trimming first would leave a leading '\\t' to collapse into a
     position-shifting leading space; after the collapse the only
     possible edge whitespace IS a space, which every engine trims
-    identically. Oracle: trim(regexp_replace(lower(text), '\\s+', ' ',
+    identically. The whitespace class is spelled out — the project
+    rule (see functions/secrets.py): Java/RE2/Python disagree on \\s
+    membership (Java ASCII \\s = this class, but RE2 drops \\x0b and
+    Python adds Unicode spaces), so neither engine gets \\s. Oracle:
+    trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ',
     'g'))."""
-    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0b\f\r]+", " ")
+    )
 
 
 def winnow_fingerprints(
@@ -100,9 +106,9 @@ def _selected_grams(
     )
     grams = norm.select(
         "_id",
-        F.posexplode(F.sequence(F.lit(1), F.col("_nlen") - k + 1)).alias("_i", "p"),
+        F.explode(F.sequence(F.lit(1), F.col("_nlen") - k + 1)).alias("p"),
         F.expr(f"substring(_norm, p, {k})").alias("_g"),
-    ).drop("_i")
+    )
     # 32-bit gram hash: conv() of the first 8 sha256 hex digits — the
     # oracle rebuilds the identical integer nibble-by-nibble
     hashed = grams.select(

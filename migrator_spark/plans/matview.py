@@ -98,6 +98,44 @@ def _normalize_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
     return out
 
 
+def _state_cols_for(name, kind, col, by_name):
+    if kind == "count":
+        return [(name, T.LongType())]
+    in_t = by_name[col].dataType
+    if kind in _RESCAN:
+        return [(name, in_t)]
+    sum_t = T.LongType() if isinstance(in_t, _INTEGRAL) else T.DoubleType()
+    if kind == "sum":
+        return [(name, sum_t)]
+    return [(name + "__sum", T.DoubleType()), (name + "__cnt", T.LongType())]
+
+
+def _state_fields_for(
+    group_cols: list[str], aggs: dict, base_schema: T.StructType
+) -> list[T.StructField]:
+    """Group keys + per-agg state columns + the live-row counter.
+    Module-level so :meth:`MaterializedView.create` can derive the
+    state schema BEFORE an instance exists — construction then runs
+    through ``__init__``'s validation like :meth:`load` does."""
+    by_name = {f.name: f for f in base_schema.fields}
+    fields = []
+    for g in group_cols:
+        if g not in by_name:
+            raise ValueError(f"group column {g!r} not in base schema")
+        fields.append(by_name[g])
+    taken = set(group_cols) | {ROWS_COL}
+    for name, (kind, col) in aggs.items():
+        if col is not None and col not in by_name:
+            raise ValueError(f"agg {name!r}: column {col!r} not in base")
+        for sname, stype in _state_cols_for(name, kind, col, by_name):
+            if sname in taken:
+                raise ValueError(f"state column {sname!r} collides")
+            taken.add(sname)
+            fields.append(T.StructField(sname, stype, True))
+    fields.append(T.StructField(ROWS_COL, T.LongType(), True))
+    return fields
+
+
 class MaterializedView:
     """An incrementally-maintained group-by aggregate view. Build with
     :meth:`create` (new state table) or :meth:`load` (existing one);
@@ -131,14 +169,11 @@ class MaterializedView:
         import os
 
         name = name or os.path.basename(path.rstrip("/"))
-        mv = cls.__new__(cls)
-        mv.base = base
-        mv.group_cols = list(group_cols)
-        mv.aggs = _normalize_aggs(aggs)
-        mv.name = name
-        mv._sid = f"mv:{name}"
-        state = T.StructType(mv._state_fields(base.schema))
-        mv.table = LakeTable.create(
+        norm = _normalize_aggs(aggs)
+        state = T.StructType(
+            _state_fields_for(list(group_cols), norm, base.schema)
+        )
+        table = LakeTable.create(
             spark, path, state, list(group_cols), num_buckets=num_buckets,
             io=io,
             # the spec rides the view's own manifest (table properties)
@@ -148,11 +183,12 @@ class MaterializedView:
                 "mv": {
                     "name": name,
                     "group_cols": list(group_cols),
-                    "aggs": {k: list(v) for k, v in mv.aggs.items()},
+                    "aggs": {k: list(v) for k, v in norm.items()},
                 }
             },
         )
-        return mv
+        # same construction/validation path as load()
+        return cls(base, table, group_cols, aggs, name)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, base: LakeTable,
@@ -168,10 +204,10 @@ class MaterializedView:
         stored = table.properties.get("mv", {})
         if group_cols is None:
             group_cols = stored.get("group_cols")
-        if aggs is None:
-            aggs = {
-                k: (v[0], v[1]) for k, v in stored.get("aggs", {}).items()
-            } or None
+        if aggs is None and "aggs" in stored:
+            # key-presence, not truthiness: an EMPTY aggs dict is a
+            # valid stored spec (distinct-groups view) and must load
+            aggs = {k: (v[0], v[1]) for k, v in stored["aggs"].items()}
         if group_cols is None or aggs is None:
             raise ValueError(
                 f"view at {path!r} carries no stored spec (created before "
@@ -182,37 +218,10 @@ class MaterializedView:
 
     # ------------------------------------------------------------ spec
     def _state_fields(self, base_schema: T.StructType) -> list[T.StructField]:
-        """Group keys + per-agg state columns + the live-row counter."""
-        by_name = {f.name: f for f in base_schema.fields}
-        fields = []
-        for g in self.group_cols:
-            if g not in by_name:
-                raise ValueError(f"group column {g!r} not in base schema")
-            fields.append(by_name[g])
-        taken = set(self.group_cols) | {ROWS_COL}
-        for name, (kind, col) in self.aggs.items():
-            if col is not None and col not in by_name:
-                raise ValueError(f"agg {name!r}: column {col!r} not in base")
-            for sname, stype in self._state_cols(name, kind, col, by_name):
-                if sname in taken:
-                    raise ValueError(f"state column {sname!r} collides")
-                taken.add(sname)
-                fields.append(T.StructField(sname, stype, True))
-        fields.append(T.StructField(ROWS_COL, T.LongType(), True))
-        return fields
+        return _state_fields_for(self.group_cols, self.aggs, base_schema)
 
     def _state_cols(self, name, kind, col, by_name):
-        if kind == "count":
-            return [(name, T.LongType())]
-        in_t = by_name[col].dataType
-        if kind in _RESCAN:
-            return [(name, in_t)]
-        sum_t = (
-            T.LongType() if isinstance(in_t, _INTEGRAL) else T.DoubleType()
-        )
-        if kind == "sum":
-            return [(name, sum_t)]
-        return [(name + "__sum", T.DoubleType()), (name + "__cnt", T.LongType())]
+        return _state_cols_for(name, kind, col, by_name)
 
     @property
     def _needs_rescan(self) -> bool:

@@ -41,7 +41,16 @@ from migrator_spark.plans.laketable import (
 
 
 def default_stream_id(src: LakeTable) -> str:
-    return f"replicate:{os.path.basename(src.path.rstrip('/'))}"
+    """Basename for readability plus a short hash of the FULL source
+    path: two different sources that happen to share a basename (e.g.
+    /data/a/users and /data/b/users) must not share a cursor in one
+    destination — a collision would silently skip every increment of
+    the second source below the first one's cursor."""
+    import hashlib
+
+    norm = src.path.rstrip("/")
+    tag = hashlib.md5(norm.encode()).hexdigest()[:8]
+    return f"replicate:{os.path.basename(norm)}#{tag}"
 
 
 def _payload_cols(table: LakeTable) -> list[str]:

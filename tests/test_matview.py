@@ -390,3 +390,23 @@ def test_randomized_interleavings_match_recompute(spark, tmp_path):
                    compact_threshold=None)
         mv.refresh()
         _assert_matches(mv)
+
+
+def test_empty_aggs_spec_creates_and_loads(spark, tmp_path):
+    """A zero-aggregate (distinct-groups) view is a valid stored spec
+    and must survive a load() roundtrip — key-presence, not dict
+    truthiness (review finding: `or None` made {} unloadable)."""
+    base = LakeTable.create(
+        spark, str(tmp_path / "base"), PAYLOAD, ["k"], num_buckets=4
+    )
+    base.merge(
+        _env(spark, [(1, "insert", 1, "a", 1.0, 1), (2, "insert", 2, "b", 2.0, 2)]),
+        stream_id="s", batch_id=0,
+    )
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), base, group_cols=["g"], aggs={}
+    )
+    mv.refresh()
+    again = MaterializedView.load(spark, str(tmp_path / "mv"), base)
+    assert again.aggs == {}
+    assert sorted(r["g"] for r in again.read().collect()) == ["a", "b"]

@@ -232,3 +232,16 @@ def test_key_mismatch_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key mismatch"):
         replicate(a, other)
+
+
+def test_default_stream_id_distinct_for_same_basename():
+    from types import SimpleNamespace
+
+    from migrator_spark.plans.replicate import default_stream_id
+
+    a = default_stream_id(SimpleNamespace(path="/data/a/users"))
+    b = default_stream_id(SimpleNamespace(path="/data/b/users"))
+    assert a != b  # same basename must not share a cursor
+    assert a.startswith("replicate:users#")
+    # trailing slash normalizes to the same identity
+    assert default_stream_id(SimpleNamespace(path="/data/a/users/")) == a

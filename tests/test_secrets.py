@@ -106,3 +106,13 @@ def test_pattern_dialect_parity(spark, name):
         for t in corpus
     ]
     assert spark_counts == py_counts == ddb_counts
+
+
+def test_null_content_counts_zero_and_unflagged(spark):
+    from migrator_spark.functions.secrets import scan_secrets
+
+    df = spark.createDataFrame([("a", None), ("b", "plain text")],
+                               "id string, content string")
+    rows = {r["id"]: r for r in scan_secrets(df).collect()}
+    assert rows["a"]["secret_flagged"] is False
+    assert all(v == 0 for k, v in rows["a"].asDict().items() if k.endswith("_n"))
