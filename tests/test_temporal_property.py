@@ -1,0 +1,113 @@
+"""Hypothesis property tests: asof_join and sessionize over ARBITRARY
+small fact/dim/event sets equal the independent Python folds (the
+fixed-seed random cases in test_temporal.py are single draws; these
+let the shrinker hunt adversarial timestamp/key collisions, incl. the
+NULL semantics pinned by the review fixes)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from migrator_spark.operators.temporal import asof_join, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return None if sec is None else EPOCH + dt.timedelta(seconds=int(sec))
+
+
+keys = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+secs = st.one_of(st.none(), st.integers(min_value=0, max_value=2000))
+
+dims_strategy = st.lists(st.tuples(keys, secs), min_size=0, max_size=25)
+facts_strategy = st.lists(st.tuples(keys, secs), min_size=1, max_size=25)
+events_strategy = st.lists(st.tuples(keys, secs), min_size=1, max_size=40)
+
+
+def _py_asof(facts, dims):
+    """Latest dim (key-equal, ts<=fact.ts); ties on ts broken by the
+    larger dim payload (mirrors the operator's struct tiebreak). NULL
+    key/ts dims never match; NULL-ts facts never match either (the
+    window can't order them meaningfully, and SQL ts>=ts is NULL)."""
+    out = {}
+    for i, (k, fs) in enumerate(facts):
+        fid = 1000 + i
+        best = None
+        if k is not None and fs is not None:
+            for j, (dk, ds) in enumerate(dims):
+                if dk is None or ds is None or dk != k or ds > fs:
+                    continue
+                if best is None or ds > best[0] or (ds == best[0] and j > best[1]):
+                    best = (ds, j)
+        out[fid] = best[1] if best else None
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(facts=facts_strategy, dims=dims_strategy)
+def test_asof_any_inputs_match_fold(spark, facts, dims):
+    fdf = spark.createDataFrame(
+        [(k, _ts(s), 1000 + i) for i, (k, s) in enumerate(facts)],
+        "k long, ts timestamp, fid long",
+    )
+    ddf = spark.createDataFrame(
+        [(k, _ts(s), j) for j, (k, s) in enumerate(dims)] or [(0, _ts(0), 0)],
+        "k long, ts timestamp, did long",
+    )
+    if not dims:
+        ddf = ddf.where("1=0")
+    got = {
+        r["fid"]: r["asof_did"]
+        for r in asof_join(fdf, ddf, on="k", ts="ts", dim_cols=["did"]).collect()
+    }
+    want = _py_asof(facts, dims)
+    # NULL-ts facts: the operator keeps them (LEFT semantics) with no match
+    assert got == want
+
+
+def _py_sessions(events, gap):
+    out = {}
+    by_key = {}
+    for k, s in events:
+        if k is None or s is None:
+            continue
+        by_key.setdefault(k, []).append(s)
+    for k, ss in by_key.items():
+        ss.sort()
+        sid, prev, n = 0, None, 0
+        for s in ss:
+            if prev is None or s - prev > gap:
+                if prev is not None:
+                    out[(k, sid)] = n
+                sid += 1
+                n = 0
+            n += 1
+            prev = s
+        out[(k, sid)] = n
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, gap=st.integers(min_value=1, max_value=500))
+def test_sessionize_any_inputs_match_fold(spark, events, gap):
+    df = spark.createDataFrame(
+        [(k, _ts(s)) for k, s in events], "k long, ts timestamp"
+    )
+    got = {
+        (r["k"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, key="k", ts="ts", gap_sec=float(gap)).collect()
+    }
+    assert got == _py_sessions(events, gap)
