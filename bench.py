@@ -54,7 +54,17 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python UDF WORKERS don't inherit the driver's sys.path — export the
+# repo on PYTHONPATH (read at worker spawn) so a bench launched from
+# any CWD can still unpickle migrator_spark functions on executors.
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -62,6 +72,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # writeback noise that swamps A/B comparisons; shuffle goes there too.
 _DEFAULT_BENCH_TMP = "/dev/shm/migrator-bench" if os.path.isdir("/dev/shm") else "/tmp/migrator-bench"
 BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", _DEFAULT_BENCH_TMP)
+# Durable records (BENCH/last_record.json, SCALING_LAST_RUN.md) anchor
+# to the repo, not the CWD — `jobs/run.py status` resolves them from
+# the repo root, so a bench launched elsewhere must land them there.
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
 if os.path.isdir("/dev/shm"):
     os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
 
@@ -160,6 +174,11 @@ def run_cdc_apply(spark, log_dir: str, table_dir: str, batches: int = 8,
         lo += step
         b += 1
     wall = time.monotonic() - t0
+    # Sample the closing jiffies BEFORE the final_rows read-back: the
+    # count() below is outside the timed window, so it must be outside
+    # the CPU window too (otherwise cpu_us_per_event silently includes
+    # a full LWW-resolved table scan, by different amounts at N vs 4N).
+    j1 = _cpu_jiffies(leg_cpus) if leg_cpus else 0
     out = {
         "events": n,
         "batches": b,
@@ -170,7 +189,7 @@ def run_cdc_apply(spark, log_dir: str, table_dir: str, batches: int = 8,
     }
     if leg_cpus:  # busy CPU on the capped cores across the timed window
         hz = os.sysconf("SC_CLK_TCK")
-        out["cpu_sec"] = round((_cpu_jiffies(leg_cpus) - j0) / hz, 1)
+        out["cpu_sec"] = round((j1 - j0) / hz, 1)
         out["cpu_us_per_event"] = round(out["cpu_sec"] / n * 1e6, 3)
     return out
 
@@ -314,12 +333,18 @@ def run_stage_variant(spark, log_dir: str, variant: str, salt: int = 32) -> dict
             return int(n)
         return timed(job)
     if variant == "join2":  # offsets-only broadcast: map-size (L3) probe
+        # events processed = the whole log (convention shared with the
+        # other variants, which return sum(_n)); counted OUTSIDE the
+        # timed window — join2 deliberately broadcasts offsets only,
+        # so it cannot carry _n without changing the probed map size.
+        total_events = int(ev.count())
+
         def job():
             wmax = ev.select("repo", "path", "offset").groupBy("repo", "path").agg(
                 F.max("offset").alias("offset"))
             winners = ev.join(F.broadcast(wmax.select("offset")), on="offset", how="inner")
-            r = winners.agg(F.sum(F.length("content")), F.count(F.lit(1))).collect()[0]
-            return 32000000
+            winners.agg(F.sum(F.length("content")), F.count(F.lit(1))).collect()
+            return total_events
         return timed(job)
     if variant == "join3":  # slim probe broadcast + winner-side _n join
         def job():
@@ -602,8 +627,16 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
     try:
         import shutil as _sh
 
+        # self-contained: do NOT lean on the CDF block's bindings (ft,
+        # F, transform) — a failure there must not surface here as a
+        # misleading NameError masking this probe's own measurement
+        from pyspark.sql import functions as F
+
+        from migrator_spark.functions.transforms import default_cdc_transform
+        from migrator_spark.plans.laketable import LakeTable as _LTmv
         from migrator_spark.plans.matview import MaterializedView
 
+        ft = _LTmv.load(spark, os.path.join(BENCH_ROOT, "table-full"))
         mv_dir = os.path.join(BENCH_ROOT, "mv-full")
         _sh.rmtree(mv_dir, ignore_errors=True)
         mv = MaterializedView.create(
@@ -760,8 +793,8 @@ def full_bench(num_events: int, num_keys: int, repeat: int = 8, batches: int = 4
     # durable copy for operators (jobs/run.py status surfaces the
     # quality/scaling fields from it)
     try:
-        os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/last_record.json", "w") as f:
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        with open(os.path.join(BENCH_DIR, "last_record.json"), "w") as f:
             json.dump(out, f)
     except Exception:
         pass
@@ -903,7 +936,7 @@ def scaling(num_events: int, num_keys: int, repeat: int = 8, batches: int = 2,
 def _write_baseline_md(result: dict, runs: dict, lo: int, hi: int) -> None:
     """Record the run in BENCH/SCALING_LAST_RUN.md (BENCH/BASELINE.md
     holds the curated round evidence dossier, maintained by hand)."""
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(BENCH_DIR, exist_ok=True)
     md = f"""# BENCH/SCALING_LAST_RUN.md — latest N vs 4N measurement
 
 North rule: >=0.8 throughput scaling efficiency from N to 4N
@@ -938,7 +971,7 @@ Final table rows: {runs[hi]['final_rows']:,} (identical at both levels).
 
 Reproduce: `SPARK_GRAFT_CPU_BASE=16 python bench.py --scaling --batches {result['batches']} --reps 4 --events {result['events']}`
 """
-    with open("BENCH/SCALING_LAST_RUN.md", "w") as f:
+    with open(os.path.join(BENCH_DIR, "SCALING_LAST_RUN.md"), "w") as f:
         f.write(md)
 
 
@@ -950,7 +983,8 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000")))
     ap.add_argument("--keys", type=int, default=200_000)
     ap.add_argument("--repeat", type=int, default=None, help="content size knob (~110B units)")
-    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batches", type=int, default=None,
+                    help="commits per apply (default 4; 16 for --read-amp so compaction thresholds can actually trigger)")
     ap.add_argument("--scale-events", type=int, default=32_000_000)
     ap.add_argument("--scale-keys", type=int, default=1_600_000)
     ap.add_argument("--lo", type=int, default=1, help="N (executors or cores) for scaling run")
@@ -973,11 +1007,13 @@ def main() -> int:
                     help="read-amplification vs compact_threshold sweep")
     args = ap.parse_args()
     if args.read_amp:
-        print(json.dumps(read_amp(args.events, args.keys, batches=args.batches or 16)))
+        print(json.dumps(read_amp(args.events, args.keys,
+                                  batches=16 if args.batches is None else args.batches)))
         return 0
     if args.cdc_only:
         print(json.dumps(cdc_only(args.cores or CPUS, args.events, args.keys,
-                                  args.repeat or 2, args.batches,
+                                  args.repeat or 2,
+                                  4 if args.batches is None else args.batches,
                                   executors=args.executors,
                                   exec_cores=args.exec_cores,
                                   scan_only=args.scan_only,
@@ -985,7 +1021,8 @@ def main() -> int:
         return 0
     if args.scaling:
         print(json.dumps(scaling(args.scale_events, args.scale_keys,
-                                 repeat=args.repeat or 8, batches=args.batches,
+                                 repeat=args.repeat or 8,
+                                 batches=4 if args.batches is None else args.batches,
                                  lo=args.lo, hi=args.hi,
                                  executor_mode=not args.thread_scaling,
                                  exec_cores=args.exec_cores,
@@ -994,7 +1031,8 @@ def main() -> int:
                                  variant=args.variant,
                                  reps=args.reps)))
         return 0
-    print(json.dumps(full_bench(args.events, args.keys, args.repeat or 8, args.batches)))
+    print(json.dumps(full_bench(args.events, args.keys, args.repeat or 8,
+                                4 if args.batches is None else args.batches)))
     return 0
 
 
