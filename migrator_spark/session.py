@@ -28,6 +28,12 @@ def get_spark(
     same code runs unmodified under ``spark-submit --py-files`` where
     the master/executors come from the cluster manager.
     """
+    # Reuse first: an already-running session wins outright — its
+    # master/conf are immutable, so every tuning knob below (including
+    # extra_conf) is intentionally a no-op on this path.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     cores = cores or DEFAULT_CPUS
     # Shuffle width: at least the core count so every slot has work;
     # on a 1000-executor cluster this would be sized to ~2-3x total
@@ -62,12 +68,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
         )
     )
-    # Only force a master when none is configured (lets spark-submit
-    # and an already-running session win).
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        return active
-    builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+    # Master resolution: SPARK_GRAFT_MASTER always wins; otherwise,
+    # under spark-submit the launcher JVM already carries --master in
+    # its conf (spark-submit execs this driver with the py4j gateway
+    # env set), so forcing .master() here would silently override
+    # `--master yarn` (or the Makefile's local[8]) with local[cores].
+    # Only a bare `python ...` invocation gets the local default.
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if env_master:
+        builder = builder.master(env_master)
+    elif not under_spark_submit:
+        builder = builder.master(f"local[{cores}]")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -121,13 +121,22 @@ class MemStateStore(StateStore):
     process story to guard."""
 
     def __init__(self):
+        import threading
+
         self._docs: dict[str, dict] = {}
         self._locks: set[str] = set()
+        # apply() is a read-modify-write; the file store serializes it
+        # with flock, so the memory store must serialize it too — a
+        # streaming foreachBatch thread and the main thread folding
+        # lineage concurrently would otherwise lose increments.
+        self._mu = threading.Lock()
 
     def _path(self, pipeline_id: str) -> str:  # pragma: no cover - unused
         raise NotImplementedError("memory store has no paths")
 
     def get(self, pipeline_id: str) -> dict:
+        import copy
+
         if pipeline_id not in self._docs:
             return {
                 "migration_status": "idle",
@@ -138,20 +147,23 @@ class MemStateStore(StateStore):
                 "replication_issue": "",
                 "lineage": {"events": 0, "applied": 0, "deduped": 0, "deleted": 0},
             }
-        return dict(self._docs[pipeline_id])
+        # deep copy: a shallow dict() shares the nested lineage dict
+        # with the store, so a caller's in-place fold would mutate the
+        # stored doc outside apply()'s lock
+        return copy.deepcopy(self._docs[pipeline_id])
 
     def set(self, pipeline_id: str, state: dict) -> None:
-        self._docs[pipeline_id] = dict(state)
+        import copy
 
-    def update(self, pipeline_id: str, **fields) -> dict:
-        return self.apply(pipeline_id, lambda _st: fields)
+        self._docs[pipeline_id] = copy.deepcopy(state)
 
     def apply(self, pipeline_id: str, fn) -> dict:
-        st = self.get(pipeline_id)
-        st.update(fn(st) or {})
-        st["updated_at"] = time.time()
-        self.set(pipeline_id, st)
-        return st
+        with self._mu:
+            st = self.get(pipeline_id)
+            st.update(fn(st) or {})
+            st["updated_at"] = time.time()
+            self.set(pipeline_id, st)
+            return st
 
     def delete(self, pipeline_id: str) -> None:
         self._docs.pop(pipeline_id, None)
@@ -159,9 +171,12 @@ class MemStateStore(StateStore):
     @contextlib.contextmanager
     def run_lock(self, pipeline_id: str, kind: str):
         key = f"{pipeline_id}.{kind}"
-        if key in self._locks:
-            raise RuntimeError(f"pipeline {pipeline_id!r} {kind} already running")
-        self._locks.add(key)
+        with self._mu:
+            if key in self._locks:
+                raise RuntimeError(
+                    f"pipeline {pipeline_id!r} {kind} already running"
+                )
+            self._locks.add(key)
         try:
             yield
         finally:

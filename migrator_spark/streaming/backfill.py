@@ -44,9 +44,16 @@ def run_backfill(
     callbacks: LifecycleCallbacks | None = None,
     update_mode: str = "row",
 ) -> dict:
-    """Apply the log slice [start_offset, start_offset + max_size) to
-    the table in ``batch_size``-event MERGE commits (one commit when
-    ``batch_size`` is None). Returns the final state doc.
+    """Apply up to ``max_size`` events starting at
+    ``max(saved_offset, start_offset)`` — i.e. the window
+    [resume_offset, resume_offset + max_size) — in ``batch_size``-event
+    MERGE commits (one commit when ``batch_size`` is None). Returns the
+    final state doc. ``max_size`` is a PER-RUN budget anchored at the
+    resume point, exactly the reference's
+    ``Count(Offset=startOffset, Size=MaxSize)`` where startOffset is
+    already max(previous, configured) (pipelines/base.go:382-397): a
+    resumed run migrates up to max_size FURTHER events, not the
+    remainder of the original request's absolute slice.
 
     Lifecycle (mirrors OnMigrationStart/Progress/Error/Stopped,
     pipelines/base.go:38-54): ``migration_start`` after the duplicate-
@@ -58,7 +65,7 @@ def run_backfill(
         return _run_backfill_locked(
             spark, log_dir, table_path, state, pipeline_id, start_offset,
             max_size, batch_size, transform, salt_buckets, schema,
-            compact_threshold, callbacks or LifecycleCallbacks(),
+            compact_threshold, callbacks,
             update_mode=update_mode,
         )
 
