@@ -2007,9 +2007,21 @@ class LakeTable:
         n_parts = self.spark.sparkContext.defaultParallelism
         layout_salt = max(1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1)))
         t = time.monotonic()
-        staged, staged_rows, per_bucket, staged_bytes = self._stage_and_promote(
+        # The per-bucket events aggregation only needs the wmax cache,
+        # which the write action materializes — so it is launched from
+        # a driver thread the moment the write job finishes and runs
+        # CONCURRENTLY with the commit tail (directory rename + footer
+        # stats, which are driver-side IO, not executor work). It used
+        # to run serially after the footers (guide §2.6: overlap
+        # independent work instead of queueing it).
+        def _bucket_events_job() -> dict:
+            rows = wmax.groupBy("_wb").agg(F.sum("_n").alias("_s")).collect()
+            return {int(r["_wb"]): int(r["_s"]) for r in rows}
+
+        staged, staged_rows, per_bucket, staged_bytes, ev_fut = self._stage_and_promote(
             delta, next_version, n_parts, salt_buckets=layout_salt,
             collect_stats=per_bucket_lineage, layout=layout,
+            post_write=_bucket_events_job if per_bucket_obs else None,
         )
         m = obs.get
         t = _tlog("stage+promote+stats", t)
@@ -2017,6 +2029,8 @@ class LakeTable:
             # (don't touch obs_w here: an all-empty plan can prune the
             # broadcast subquery so its metrics never materialize)
             if per_bucket_obs:
+                if ev_fut is not None:
+                    ev_fut.result()  # drain before dropping the cache
                 wmax.unpersist()
             return self._commit(
                 manifest["buckets"], dict(manifest.get("bucket_rows", {})),
@@ -2038,10 +2052,9 @@ class LakeTable:
         # staged footers
         if per_bucket_obs:
             t = time.monotonic()
-            ev_rows = wmax.groupBy("_wb").agg(F.sum("_n").alias("_s")).collect()
+            ev_by_b = ev_fut.result() if ev_fut is not None else _bucket_events_job()
             wmax.unpersist()
             t = _tlog("per-bucket-events-job", t)
-            ev_by_b = {int(r["_wb"]): int(r["_s"]) for r in ev_rows}
             for b, s in per_bucket.items():
                 s["events"] = ev_by_b.get(b, 0)
                 s["deduped"] = s["events"] - (s["applied"] + s["deleted"])
@@ -2329,7 +2342,7 @@ class LakeTable:
             layout_salt = max(
                 1, min(salt_buckets or 1, (n_parts * 2) // max(b_total, 1))
             )
-            staged, staged_rows, per_bucket, staged_bytes = self._stage_and_promote(
+            staged, staged_rows, per_bucket, staged_bytes, _pf = self._stage_and_promote(
                 delta, next_version, n_parts, salt_buckets=layout_salt,
                 collect_stats=True, layout=layout,
             )
@@ -2393,12 +2406,20 @@ class LakeTable:
     def _stage_and_promote(
         self, df, next_version: int, n_partitions: int, salt_buckets: int = 0,
         collect_stats: bool = False, layout: str = "cluster",
-    ) -> tuple[dict, dict, dict]:
+        post_write=None,
+    ) -> tuple[dict, dict, dict, dict, "object"]:
         """Write ``df`` (which carries BUCKET_COL) bucket-partitioned
         into a staging dir, promote the WHOLE staging dir with one
         atomic rename to ``data/commit-v{N}/``, and return
         ({bucket: [relative paths]}, {bucket: rows},
-        {bucket: lineage stats or {}}, {bucket: uncompressed bytes}).
+        {bucket: lineage stats or {}}, {bucket: uncompressed bytes},
+        future-of-``post_write`` or None).
+
+        ``post_write`` (a zero-arg callable) is submitted to a driver
+        thread IMMEDIATELY after the write action returns, so a small
+        follow-up Spark job (e.g. the per-bucket events aggregation
+        over the cached winner agg) overlaps the driver-side promote
+        tail (rename + footer stats) instead of queueing behind it.
 
         ``salt_buckets`` salts the layout shuffle — THE skew-prone
         stage (north rule: explicit hot-key salting): a hot repo
@@ -2436,6 +2457,15 @@ class LakeTable:
         # write-phase wall for the scaling bench's steady-state ratio
         # (driver/commit phases excluded)
         self.last_write_sec = t - t_write0
+        post_fut = None
+        if post_write is not None:
+            from pyspark.util import inheritable_thread_target
+
+            _pool = ThreadPoolExecutor(max_workers=1)
+            try:
+                post_fut = _pool.submit(inheritable_thread_target(post_write))
+            finally:
+                _pool.shutdown(wait=False)
         # Attempt-unique commit dir: two writers (or a crash-retry pair)
         # racing the same next_version land in DIFFERENT directories, so
         # a loser/orphan can never clobber files a published snapshot
@@ -2457,7 +2487,7 @@ class LakeTable:
             tasks.extend((b, r, os.path.join(self.path, r)) for r in rels)
         if not tasks:
             self.io.rmtree(commit_abs)
-            return {}, {}, {}, {}
+            return {}, {}, {}, {}, post_fut
         rows: dict[int, int] = {}
         nbytes: dict[int, int] = {}
         stats: dict[int, dict] = {}
@@ -2483,7 +2513,7 @@ class LakeTable:
                 # they stay 0 there, documented)
                 s["applied"] += n - deletes
                 s["deleted"] += deletes
-        return out, rows, stats, nbytes
+        return out, rows, stats, nbytes, post_fut
 
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Rewrite the given buckets (default: all multi-file buckets)
@@ -2504,7 +2534,7 @@ class LakeTable:
         local_b, big_b = self._split_by_budget(buckets)
         resolved = self._resolved(buckets=buckets, with_bucket_col=True)
         next_version = self.manifest["version"] + 1
-        staged, staged_rows, _, staged_bytes = self._stage_and_promote(
+        staged, staged_rows, _, staged_bytes, _pf = self._stage_and_promote(
             resolved, next_version, len(buckets),
             # pure-local input is already one-bucket-per-partition; a
             # hybrid (shuffle side present) must be re-clustered so
@@ -2686,7 +2716,7 @@ class LakeTable:
             .filter(~expirable)
         )
         next_version = self.manifest["version"] + 1
-        staged, staged_rows, _, staged_bytes = self._stage_and_promote(
+        staged, staged_rows, _, staged_bytes, _pf = self._stage_and_promote(
             keep_rows, next_version, len(affected),
             layout="none" if not big_b else "cluster",
         )
