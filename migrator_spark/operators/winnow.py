@@ -161,9 +161,16 @@ def winnow_overlap_pairs(
     rule on the data, so the SQL oracle replicates it exactly (unlike a
     size-threshold fallback it never changes answers silently — a
     capped fingerprint is REMOVED for every document)."""
-    fps = _selected_grams(df, id_col, text_col, k, w).select(
-        F.col(id_col).alias("_id"), "fp"
-    ).distinct()
+    from migrator_spark.operators.similarity import _reuse
+
+    # persisted: the winnowing selection pipeline feeds the stop-gram
+    # aggregation AND both sides of the self-join — without the persist
+    # the rolling-hash window stage re-runs once per branch (guide §5)
+    fps = _reuse(
+        _selected_grams(df, id_col, text_col, k, w).select(
+            F.col(id_col).alias("_id"), "fp"
+        ).distinct()
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_nd"))  # fps distinct per (id, fp)

@@ -2028,11 +2028,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe: explode its per-doc distinct grams once, hash-join against
     the broadcast set, count matches per doc. Emits only contaminated
     docs with the matched/total gram counts and fraction."""
-    from migrator_spark.operators.similarity import _ngram_col
+    from migrator_spark.operators.similarity import _grams_frame, _reuse
 
     d = _t(spark, sf_dir, "documents")
-    grams = d.select("doc_id", _ngram_col("text", 4).alias("gs")).filter(
-        F.size("gs") > 0
+    # r6: tokenizer materialized in its own projection (_grams_frame —
+    # the inlined expression re-ran the regex split once per gram) and
+    # persisted, since the frame feeds both the eval and corpus sides.
+    grams = _reuse(
+        _grams_frame(d, "doc_id", "text", 4).select(
+            F.col("_id").alias("doc_id"), F.col("_toks").alias("gs")
+        )
     )
     ev = (
         grams.filter(F.col("doc_id") % 50 == 0)
