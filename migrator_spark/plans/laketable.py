@@ -146,7 +146,11 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     batch-size spike detector for the broadcast-vs-shuffle decision,
     never as an exact count."""
     try:
-        v = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        # analyzed-plan stats: same sizeInBytes for a scan+filter batch
+        # (verified equal on the bench log) without triggering a full
+        # optimizer run per merge — the optimizer pass cost ~20-300 ms
+        # per call and grows with upstream plan complexity (r6)
+        v = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
         # plans without stats report spark.sql.defaultSizeInBytes
         # (Long.MAX) — that's "unknown", not "huge"
         return v if 0 < v < (1 << 62) else None

@@ -30,9 +30,26 @@ def get_spark(
     """
     # Reuse first: an already-running session wins outright — its
     # master/conf are immutable, so every tuning knob below (including
-    # extra_conf) is intentionally a no-op on this path.
+    # extra_conf) is intentionally a no-op on this path. Callers that
+    # passed explicit config get a warning instead of a silent no-op
+    # (round-5 advice).
     active = SparkSession.getActiveSession()
     if active is not None:
+        if extra_conf:
+            import warnings
+
+            warnings.warn(
+                "get_spark: returning the already-active SparkSession; "
+                "the supplied extra_conf is ignored (session config is "
+                "immutable once started)",
+                stacklevel=2,
+            )
+        elif cores is not None and cores != DEFAULT_CPUS:
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "get_spark: active session reused; cores=%s ignored", cores
+            )
         return active
     cores = cores or DEFAULT_CPUS
     # Shuffle width: at least the core count so every slot has work;
