@@ -2465,9 +2465,14 @@ class LakeTable:
         if post_write is not None:
             from pyspark.util import inheritable_thread_target
 
+            # pass the session so JVM-thread-local properties (job
+            # group/description/tags) are inherited without pyspark's
+            # "Tags will not be inherited" warning per merge
             _pool = ThreadPoolExecutor(max_workers=1)
             try:
-                post_fut = _pool.submit(inheritable_thread_target(post_write))
+                post_fut = _pool.submit(
+                    inheritable_thread_target(self.spark)(post_write)
+                )
             finally:
                 _pool.shutdown(wait=False)
         # Attempt-unique commit dir: two writers (or a crash-retry pair)
