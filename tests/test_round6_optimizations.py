@@ -1,0 +1,111 @@
+"""Round-6 optimization equivalence pins.
+
+Every round-6 change is a pure reformulation — these tests pin the
+bit-level contracts the reformulations rely on:
+
+- the vectorized multi-table hyperplane bucket UDF equals the JVM
+  sequential-fold expression (``lsh_bucket_expr``) bit-for-bit,
+  including NULL / wrong-dimension rows;
+- the vectorized pair-dot UDF equals ``F.aggregate(zip_with)``;
+- the arrays_zip shingle expression equals the Python tokenizer
+  (`_word_ngrams`) gram set.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from migrator_spark.operators.similarity import (
+    _grams_frame,
+    _word_ngrams,
+    deterministic_planes,
+    lsh_bucket_expr,
+    make_multitable_bucket_udf,
+    make_pair_dot_udf,
+)
+
+DIM = 16
+TABLES = 3
+BITS = 4
+
+
+def _vectors(n=64, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(n)]
+    # edge rows: NULL vector, wrong dimension (short and long)
+    rows += [(n, None), (n + 1, [1.0] * (DIM - 3)), (n + 2, [1.0] * (DIM + 2))]
+    return rows
+
+
+def test_multitable_bucket_udf_matches_jvm_fold(spark):
+    planes = deterministic_planes(DIM, TABLES * BITS, "t6")
+    df = spark.createDataFrame(_vectors(), "vec_id long, embedding array<double>")
+    jvm = df.select(
+        "vec_id",
+        F.array(
+            *[
+                lsh_bucket_expr("embedding", planes[t * BITS:(t + 1) * BITS])
+                for t in range(TABLES)
+            ]
+        ).cast("array<long>").alias("b"),
+    )
+    udf = df.select(
+        "vec_id",
+        make_multitable_bucket_udf(planes, TABLES, BITS, DIM)(
+            F.col("embedding")
+        ).alias("b"),
+    )
+    got_jvm = {r["vec_id"]: list(r["b"]) for r in jvm.collect()}
+    got_udf = {r["vec_id"]: list(r["b"]) for r in udf.collect()}
+    assert got_jvm == got_udf
+
+
+def test_pair_dot_udf_matches_aggregate_fold(spark):
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(DIM)], [float(x) for x in rng.randn(DIM)])
+        for i in range(64)
+    ]
+    rows += [(64, None, [1.0] * DIM), (65, [1.0] * (DIM - 1), [1.0] * DIM)]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    fold = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    jvm = {r["i"]: r["d"] for r in df.select("i", fold.alias("d")).collect()}
+    udf = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", make_pair_dot_udf(DIM)(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    }
+    for i, v in jvm.items():
+        if v is None:
+            assert udf[i] is None, i
+        else:
+            # bit-identical, not approximately equal
+            assert udf[i] == v, i
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4])
+def test_shingle_frame_matches_python_tokenizer(spark, n):
+    texts = [
+        "one two three four five",
+        "  spaced\t tokens \n and lines ",
+        "short",
+        "",
+        None,
+        "a b a b a b",  # duplicate grams -> distinct
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["_id"]: sorted(r["_toks"])
+        for r in _grams_frame(df, "doc_id", "text", n).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = _word_ngrams(t, n)
+        if expect:
+            assert got[i] == sorted(expect), (i, n)
+        else:
+            assert i not in got, (i, n)
